@@ -1,0 +1,268 @@
+"""Deterministic synthetic image+caption corpus generator (FIXTURES.md F1).
+
+No external data: everything derives from seed 42 through NumPy PCG64.
+Produces the input-table shape from BASELINE.json input_hint:
+(image_id string, bytes binary, w int32, h int32, fmt string,
+ caption string, phash int64), plus ground-truth side tables
+truth_pairs(id_a, id_b, kind) and truth_clusters(image_id, cluster_id).
+
+Planted duplicate structure (F1.1): 10% of rows belong to clusters of
+size 2-6; within a cluster each variant is one of
+  1 exact re-encode (same pixels, different fmt)
+  2 lossy re-encode (fake-jpeg quality 90-95, PSNR>=40 dB)
+  3 mild noise (+-1/255 on <=5% of pixels)
+  4 resize to a different (w,h)
+  5 caption-duplicate only (different image, identical caption)
+  6 caption-substring (caption of A strict substring of caption of B)
+Kinds 1-4 are image-chain ground truth; 5-6 belong to the caption channel.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from mnemophonix_spark import codecs
+
+SEED = 42
+W_CHOICES = [64, 128, 256, 333]
+H_CHOICES = [64, 128, 256, 217]
+FMT_CHOICES = ["png", "jpeg", "bmp"]
+
+_WORDS = [
+    f"w{i:03d}" for i in range(446)
+] + [
+    "spark", "image", "caption", "hash", "band", "cluster", "wavelet",
+    "signature", "minhash", "shingle", "pixel", "frame", "grid", "batch",
+    "arrow", "column", "bucket", "score", "match", "probe", "index",
+    "corpus", "stream", "window", "filter", "join", "group", "sort",
+    "scan", "sink", "stage", "task", "shuffle", "skew", "salt", "merge",
+    "query", "table", "row", "byte", "bit", "sign", "top", "rank",
+    "near", "exact", "dup", "pair", "edge", "node", "graph", "star",
+    "large", "small", "fix", "point", "check", "resume", "commit",
+    "snapshot", "lineage", "metric", "count", "sum", "mean", "log",
+]
+assert len(_WORDS) == 512
+
+
+def _phash64(luma: np.ndarray) -> int:
+    """8x8 mean-threshold perceptual hash (FIXTURES.md F1, DCT-free)."""
+    from mnemophonix_spark.functions.kernels import area_resize
+
+    small = area_resize(luma, 8, 8)
+    bits = (small > small.mean()).flatten()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    # wrap to signed int64
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def _base_image(rng: np.random.Generator) -> np.ndarray:
+    """Deterministic procedural 128x96 grayscale "scene".
+
+    Gradient background + random high-contrast rectangles + one striped
+    texture band + mild noise.  High dynamic range is deliberate: the
+    chain's silence gate (rawfingerprints.c:10-16, |coeff|>1.0 on the
+    top 200 wavelets) assumes real-signal contrast; pure box-filtered
+    noise is nearly flat after log compression and reads as "silent"
+    (the image analog of silent audio), which would make every fixture
+    row a blank.
+    """
+    h, w = 96, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = (
+        128.0
+        + 127.0 * (xx / w) * (2 * rng.random() - 1)
+        + 127.0 * (yy / h) * (2 * rng.random() - 1)
+    )
+    for _ in range(int(rng.integers(6, 16))):
+        x0, y0 = int(rng.integers(0, w - 8)), int(rng.integers(0, h - 8))
+        rw, rh = int(rng.integers(12, w // 2 + 12)), int(rng.integers(12, h // 2 + 12))
+        img[y0 : y0 + rh, x0 : x0 + rw] = rng.choice(
+            [0.0, 32.0, 64.0, 192.0, 224.0, 255.0]
+        )
+    # striped texture band drawn last: guarantees high-frequency energy
+    y0 = int(rng.integers(0, h - 16))
+    period = int(rng.integers(4, 12))
+    img[y0 : y0 + 16, :] = ((yy[y0 : y0 + 16, :] // max(1, period // 2)) % 2) * 255.0
+    img += rng.normal(0, 3, size=(h, w))
+    return np.clip(img, 0, 255)
+
+
+def _caption(rng: np.random.Generator) -> str:
+    n = int(rng.integers(5, 21))
+    return " ".join(_WORDS[i] for i in rng.integers(0, 512, size=n))
+
+
+@dataclass
+class Corpus:
+    rows: list[dict] = field(default_factory=list)
+    truth_pairs: list[tuple[str, str, int]] = field(default_factory=list)
+    truth_clusters: list[tuple[str, str]] = field(default_factory=list)
+
+
+def _encode_row(image_id: str, luma: np.ndarray, w: int, h: int, fmt: str,
+                caption: str, rng: np.random.Generator,
+                quality: int = 95) -> dict:
+    from mnemophonix_spark.functions.kernels import area_resize
+
+    pixels = np.clip(area_resize(luma, h, w), 0, 255).astype(np.float64)
+    kw = {"quality": quality} if fmt == "jpeg" else {}
+    data = codecs.encode(pixels, fmt, **kw)
+    return {
+        "image_id": image_id,
+        "bytes": data,
+        "w": w,
+        "h": h,
+        "fmt": fmt,
+        "caption": caption,
+        "phash": _phash64(pixels),
+    }
+
+
+def generate(n_rows: int, seed: int = SEED) -> Corpus:
+    rng = np.random.default_rng(seed)
+    corpus = Corpus()
+    n_dup_rows = int(n_rows * 0.10)
+    i = 0
+
+    # --- planted duplicate clusters --------------------------------------
+    while n_dup_rows >= 2:
+        size = int(rng.integers(2, 7))
+        size = min(size, n_dup_rows)
+        if size < 2:
+            break
+        n_dup_rows -= size
+        base = _base_image(rng)
+        base_caption = _caption(rng)
+        base_w = int(rng.choice(W_CHOICES))
+        base_h = int(rng.choice(H_CHOICES))
+        base_fmt = str(rng.choice(FMT_CHOICES))
+        base_id = f"img{i:08d}"
+        corpus.rows.append(
+            _encode_row(base_id, base, base_w, base_h, base_fmt, base_caption, rng)
+        )
+        i += 1
+        member_ids = [(base_id, 0)]
+        for _ in range(size - 1):
+            kind = int(rng.integers(1, 7))
+            vid = f"img{i:08d}"
+            i += 1
+            if kind == 1:  # exact re-encode, different fmt
+                other = [f for f in FMT_CHOICES if f != base_fmt]
+                fmt = str(rng.choice(other))
+                row = _encode_row(vid, base, base_w, base_h, fmt, _caption(rng), rng)
+            elif kind == 2:  # lossy re-encode
+                q = int(rng.choice([90, 95]))
+                row = _encode_row(vid, base, base_w, base_h, "jpeg",
+                                  _caption(rng), rng, quality=q)
+            elif kind == 3:  # mild noise on <=5% of pixels
+                noisy = base.copy()
+                mask = rng.random(base.shape) < 0.05
+                noisy[mask] = np.clip(
+                    noisy[mask] + rng.choice([-1.0, 1.0], size=int(mask.sum())), 0, 255
+                )
+                row = _encode_row(vid, noisy, base_w, base_h, base_fmt,
+                                  _caption(rng), rng)
+            elif kind == 4:  # resize to different (w,h)
+                w2 = int(rng.choice([w for w in W_CHOICES if w != base_w]))
+                h2 = int(rng.choice([h for h in H_CHOICES if h != base_h]))
+                row = _encode_row(vid, base, w2, h2, base_fmt, _caption(rng), rng)
+            elif kind == 5:  # caption-duplicate only
+                row = _encode_row(vid, _base_image(rng), base_w, base_h,
+                                  base_fmt, base_caption, rng)
+            else:  # kind 6: caption substring
+                extra = " ".join(_WORDS[j] for j in rng.integers(0, 512, size=4))
+                row = _encode_row(vid, _base_image(rng), base_w, base_h,
+                                  base_fmt, base_caption + " " + extra, rng)
+            corpus.rows.append(row)
+            corpus.truth_pairs.append((base_id, vid, kind))
+            member_ids.append((vid, kind))
+        image_members = [m for m, k in member_ids if k in (0, 1, 2, 3, 4)]
+        if len(image_members) >= 2:
+            cid = min(image_members)
+            for m in image_members:
+                corpus.truth_clusters.append((m, cid))
+
+    # --- singletons --------------------------------------------------------
+    while i < n_rows:
+        vid = f"img{i:08d}"
+        i += 1
+        corpus.rows.append(
+            _encode_row(
+                vid,
+                _base_image(rng),
+                int(rng.choice(W_CHOICES)),
+                int(rng.choice(H_CHOICES)),
+                str(rng.choice(FMT_CHOICES)),
+                _caption(rng),
+                rng,
+            )
+        )
+    return corpus
+
+
+def corpus_schema() -> pa.schema:
+    return pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("bytes", pa.binary()),
+            ("w", pa.int32()),
+            ("h", pa.int32()),
+            ("fmt", pa.string()),
+            ("caption", pa.string()),
+            ("phash", pa.int64()),
+        ]
+    )
+
+
+def write_corpus(out_dir: str, n_rows: int, seed: int = SEED,
+                 n_files: int = 8) -> Corpus:
+    """Write corpus + truth tables as parquet under out_dir.
+
+    Multiple row groups / files so local[32] gets >=64 tasks at bench
+    scale (FIXTURES.md F1 scale knobs).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    corpus = generate(n_rows, seed)
+    schema = corpus_schema()
+    chunks = np.array_split(np.arange(len(corpus.rows)), max(1, n_files))
+    for fi, chunk in enumerate(chunks):
+        if len(chunk) == 0:
+            continue
+        rows = [corpus.rows[j] for j in chunk]
+        table = pa.Table.from_pylist(rows, schema=schema)
+        pq.write_table(table, os.path.join(out_dir, f"corpus-{fi:04d}.parquet"),
+                       row_group_size=256)
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"id_a": a, "id_b": b, "kind": k} for a, b, k in corpus.truth_pairs],
+            schema=pa.schema([("id_a", pa.string()), ("id_b", pa.string()),
+                              ("kind", pa.int32())]),
+        ),
+        os.path.join(out_dir, "truth_pairs.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"image_id": m, "cluster_id": c} for m, c in corpus.truth_clusters],
+            schema=pa.schema([("image_id", pa.string()), ("cluster_id", pa.string())]),
+        ),
+        os.path.join(out_dir, "truth_clusters.parquet"),
+    )
+    return corpus
+
+
+def ensure_corpus(cache_root: str, n_rows: int, seed: int = SEED) -> str:
+    """Idempotent corpus materialization keyed by (n_rows, seed)."""
+    out_dir = os.path.join(cache_root, f"corpus_n{n_rows}_s{seed}")
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        write_corpus(out_dir, n_rows, seed)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return out_dir
