@@ -228,7 +228,8 @@ def write_corpus(out_dir: str, n_rows: int, seed: int = SEED,
     Multiple row groups / files so local[32] gets >=64 tasks at bench
     scale (FIXTURES.md F1 scale knobs).
     """
-    os.makedirs(out_dir, exist_ok=True)
+    corpus_sub = os.path.join(out_dir, "corpus")
+    os.makedirs(corpus_sub, exist_ok=True)
     corpus = generate(n_rows, seed)
     schema = corpus_schema()
     chunks = np.array_split(np.arange(len(corpus.rows)), max(1, n_files))
@@ -237,7 +238,7 @@ def write_corpus(out_dir: str, n_rows: int, seed: int = SEED,
             continue
         rows = [corpus.rows[j] for j in chunk]
         table = pa.Table.from_pylist(rows, schema=schema)
-        pq.write_table(table, os.path.join(out_dir, f"corpus-{fi:04d}.parquet"),
+        pq.write_table(table, os.path.join(corpus_sub, f"part-{fi:04d}.parquet"),
                        row_group_size=256)
     pq.write_table(
         pa.Table.from_pylist(

@@ -1,0 +1,109 @@
+"""Iterative hash-join connected components (large-star / small-star).
+
+The reference returns one best match per query (main.c:110-129) and has
+no clustering; dedup needs components over the verified-pair edge list.
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — converges in
+O(log n) rounds on pathological chains and one round on the star-shaped
+clusters dedup actually produces, using only groupBy/join shuffles
+(no collect of the edge set to the driver).
+
+Node ids are strings; the component label is the lexicographic MIN
+image_id, which is exactly FIXTURES.md F4's cluster_id contract.
+Each round ends with ``localCheckpoint`` to break lineage (SURVEY.md §7
+risk list: bounded iterations + fixpoint check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _min_neighbor(edges: DataFrame) -> DataFrame:
+    """For each u over bidirected edges + self-loop: m(u) = min(Γ+(u))."""
+    bidir = edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).unionByName(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+    with_self = bidir.unionByName(
+        bidir.select("u", F.col("u").alias("v")).distinct()
+    )
+    return with_self.groupBy("u").agg(F.min("v").alias("m")), bidir
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(u,v) with v > u  ->  (v, m(u)).  Connects big neighbors to the min."""
+    minn, bidir = _min_neighbor(edges)
+    return (
+        bidir.join(minn, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """(u,v) with v <= u  ->  (v, m(u)), plus (u, m(u))."""
+    minn, bidir = _min_neighbor(edges)
+    small = (
+        bidir.filter(F.col("v") <= F.col("u"))
+        .join(minn, "u")
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+    )
+    self_link = minn.select(F.col("u").alias("src"), F.col("m").alias("dst"))
+    return (
+        small.unionByName(self_link)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """pairs(id_a, id_b) -> (image_id, cluster_id) for non-singleton nodes.
+
+    cluster_id = min image_id of the component.  Singletons (nodes with
+    no accepted pair) are not emitted; join back to the corpus with
+    ``coalesce(cluster_id, image_id)`` for a total assignment
+    (see ``assign_clusters``).
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        edges2 = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # fixpoint: the edge multiset no longer changes.  Compare via an
+        # order-insensitive checksum (one small aggregate per side).
+        delta = edges2.exceptAll(edges).limit(1).count()
+        same_size = edges2.count() == edges.count()
+        edges = edges2
+        if same_size and delta == 0:
+            break
+
+    # at fixpoint every edge is (node -> component min)
+    labels = edges.groupBy("src").agg(F.min("dst").alias("cluster_id"))
+    roots = labels.select(F.col("cluster_id").alias("r")).distinct().select(
+        F.col("r").alias("src"), F.col("r").alias("cluster_id")
+    )
+    return (
+        labels.unionByName(roots)
+        .groupBy("src")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+        .select(F.col("src").alias("image_id"), "cluster_id")
+    )
+
+
+def assign_clusters(corpus_ids: DataFrame, components: DataFrame) -> DataFrame:
+    """Total assignment: every image gets a cluster (own id if singleton)."""
+    return (
+        corpus_ids.select("image_id")
+        .join(components, "image_id", "left")
+        .select(
+            "image_id",
+            F.coalesce("cluster_id", "image_id").alias("cluster_id"),
+        )
+    )

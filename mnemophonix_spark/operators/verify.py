@@ -1,0 +1,140 @@
+"""Pair verification: decoded-pixel PSNR + phash hamming (north_star).
+
+No reference counterpart (the reference trusts its signature score);
+this stage kills LSH false positives before clustering.  A pair
+verifies if PSNR(grid_a, grid_b) >= 40 dB OR hamming64(phash_a,
+phash_b) <= 4 (cross-resize dups alias on the canonical grid — moire
+on textured regions — but stay within a bit of phash, while distinct
+images sit at >= 11 bits; see config.PHASH_MAX_HAMMING).
+
+Scale design: pixels are re-decoded ONLY for candidate pairs (a tiny
+fraction of the corpus), never materialized corpus-wide.  The phash
+gate is a pure column op evaluated first so the expensive decode join
+only runs for pairs the cheap gate could not accept.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mnemophonix_spark import codecs
+from mnemophonix_spark import config as C
+
+_PSNR_SCHEMA = T.StructType(
+    [
+        T.StructField("id_a", T.StringType()),
+        T.StructField("id_b", T.StringType()),
+        T.StructField("n_shared_bands", T.LongType()),
+        T.StructField("score", T.IntegerType()),
+        T.StructField("psnr", T.DoubleType()),
+    ]
+)
+
+
+def _psnr_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    from mnemophonix_spark.functions import kernels
+
+    for batch in batches:
+        d = batch.to_pydict()
+        n = len(d["id_a"])
+        psnr = np.zeros(n, dtype=np.float64)
+        for i in range(n):
+            try:
+                ga = kernels.luma_to_grid(codecs.decode(d["bytes_a"][i], d["fmt_a"][i]))
+                gb = kernels.luma_to_grid(codecs.decode(d["bytes_b"][i], d["fmt_b"][i]))
+                psnr[i] = codecs.psnr(ga * 255.0, gb * 255.0)
+            except codecs.CodecError:
+                psnr[i] = 0.0
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(d["id_a"], pa.string()),
+                pa.array(d["id_b"], pa.string()),
+                pa.array(d["n_shared_bands"], pa.int64()),
+                pa.array(d["score"], pa.int32()),
+                pa.array(psnr, pa.float64()),
+            ],
+            names=["id_a", "id_b", "n_shared_bands", "score", "psnr"],
+        )
+
+
+def verify_pairs(
+    scored: DataFrame,
+    corpus: DataFrame,
+    psnr_min: float = C.PSNR_MIN_DB,
+    phash_max_hamming: int = C.PHASH_MAX_HAMMING,
+) -> DataFrame:
+    """scored pairs + corpus -> verified pairs.
+
+    Output: (id_a, id_b, n_shared_bands, score, verified_by string).
+    """
+    ph = corpus.select("image_id", "phash")
+    with_ph = (
+        scored.join(
+            ph.withColumnRenamed("image_id", "id_a").withColumnRenamed(
+                "phash", "phash_a"
+            ),
+            "id_a",
+        )
+        .join(
+            ph.withColumnRenamed("image_id", "id_b").withColumnRenamed(
+                "phash", "phash_b"
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "phash_ham",
+            F.bit_count(F.col("phash_a").bitwiseXOR(F.col("phash_b"))),
+        )
+    )
+    cheap_ok = with_ph.filter(F.col("phash_ham") <= phash_max_hamming).select(
+        "id_a",
+        "id_b",
+        "n_shared_bands",
+        "score",
+        F.lit("phash").alias("verified_by"),
+    )
+    needs_pixels = with_ph.filter(F.col("phash_ham") > phash_max_hamming).select(
+        "id_a", "id_b", "n_shared_bands", "score"
+    )
+
+    payload = corpus.select("image_id", "bytes", "fmt")
+    joined = (
+        needs_pixels.join(
+            payload.select(
+                F.col("image_id").alias("id_a"),
+                F.col("bytes").alias("bytes_a"),
+                F.col("fmt").alias("fmt_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            payload.select(
+                F.col("image_id").alias("id_b"),
+                F.col("bytes").alias("bytes_b"),
+                F.col("fmt").alias("fmt_b"),
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b", "n_shared_bands", "score", "bytes_a", "fmt_a",
+            "bytes_b", "fmt_b",
+        )
+    )
+    pixel_ok = (
+        joined.mapInArrow(_psnr_batches, _PSNR_SCHEMA)
+        .filter(F.col("psnr") >= psnr_min)
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared_bands",
+            "score",
+            F.lit("psnr").alias("verified_by"),
+        )
+    )
+    return cheap_ok.unionByName(pixel_ok)

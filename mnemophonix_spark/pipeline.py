@@ -1,0 +1,101 @@
+"""End-to-end dedup pipeline: corpus -> signatures -> pairs -> clusters.
+
+Stage graph (each stage commits through StageStore for resume,
+north_rule checkpoint/lineage requirement):
+
+  corpus scan ->(mapInArrow, no shuffle)-> signatures
+            ->(posexplode)->   bands
+            ->(groupBy band key, bucket cap)-> candidate pairs
+            ->(2 joins + pandas UDF)-> scored pairs
+            ->(phash gate, decode join)-> verified pairs
+            ->(large-star/small-star)-> clusters
+
+Counters logged per stage into the lineage records: quarantined rows,
+silent/degenerate signatures, hot buckets dropped, candidates, scored,
+verified, clusters.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mnemophonix_spark import config as C
+from mnemophonix_spark.operators import components as comp
+from mnemophonix_spark.operators import lsh
+from mnemophonix_spark.operators import verify as ver
+from mnemophonix_spark.operators.fingerprint import fingerprint, valid_signatures
+from mnemophonix_spark.sources.storage import StageStore
+
+
+def load_corpus(spark: SparkSession, corpus_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{corpus_dir}/corpus")
+
+
+def input_fingerprint(corpus_dir: str) -> str:
+    return hashlib.sha1(corpus_dir.encode()).hexdigest()[:16]
+
+
+def run_dedup(
+    spark: SparkSession,
+    corpus_dir: str,
+    work_dir: str | None = None,
+    cap: int = C.MAX_BUCKET_SIZE,
+    log=print,
+) -> dict[str, DataFrame]:
+    """Run (or resume) the full pipeline; returns the stage DataFrames.
+
+    With ``work_dir`` set, every stage is committed and the run resumes
+    from the last committed stage on restart; without it the plan stays
+    lazy end-to-end (useful for .explain and benchmarks).
+    """
+    corpus = load_corpus(spark, corpus_dir)
+    fp = input_fingerprint(corpus_dir)
+    store = StageStore(spark, work_dir, run_id=fp) if work_dir else None
+
+    def stage(name: str, build) -> DataFrame:
+        if store is None:
+            return build()
+        return store.run_stage(name, build, input_fingerprint=fp, log=log)
+
+    signatures = stage("signatures", lambda: fingerprint(corpus))
+    valid = valid_signatures(signatures)
+    bands = stage("bands", lambda: lsh.explode_bands(valid))
+    candidates = stage("candidates", lambda: lsh.candidate_pairs(bands, cap=cap))
+    scored = stage("scored", lambda: lsh.score_pairs(candidates, valid))
+    verified = stage("verified", lambda: ver.verify_pairs(scored, corpus))
+    clusters = stage(
+        "clusters",
+        lambda: comp.assign_clusters(
+            corpus.select("image_id"),
+            comp.connected_components(verified.select("id_a", "id_b")),
+        ),
+    )
+    return {
+        "corpus": corpus,
+        "signatures": signatures,
+        "bands": bands,
+        "candidates": candidates,
+        "scored": scored,
+        "verified": verified,
+        "clusters": clusters,
+    }
+
+
+def pipeline_counters(stages: dict[str, DataFrame]) -> dict[str, int]:
+    """Materialize observability counters (one action per counter)."""
+    sig = stages["signatures"]
+    return {
+        "corpus_rows": stages["corpus"].count(),
+        "quarantined": sig.filter(F.col("decode_error").isNotNull()).count(),
+        "silent": sig.filter(F.col("is_silence") == True).count(),  # noqa: E712
+        "degenerate": sig.filter(F.col("degenerate") == True).count(),  # noqa: E712
+        "candidates": stages["candidates"].count(),
+        "scored": stages["scored"].count(),
+        "verified": stages["verified"].count(),
+        "clustered_rows": stages["clusters"].filter(
+            F.col("cluster_id") != F.col("image_id")
+        ).count(),
+    }

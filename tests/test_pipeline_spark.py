@@ -1,0 +1,150 @@
+"""Spark pipeline vs oracle parity + resume + quarantine (SURVEY.md §5.3/5.6)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mnemophonix_spark import pipeline
+from mnemophonix_spark.operators import components as comp
+
+
+@pytest.fixture(scope="module")
+def stages(spark, corpus_dir):
+    return pipeline.run_dedup(spark, corpus_dir)
+
+
+def test_signatures_bit_exact_vs_oracle(stages, oracle_result):
+    sig = {r["image_id"]: r for r in stages["signatures"].collect()}
+    oidx = {im: i for i, im in enumerate(oracle_result.image_ids)}
+    assert set(sig) == set(oidx)
+    for image_id, i in oidx.items():
+        r = sig[image_id]
+        assert bytes(r["minhash"]) == oracle_result.minhash[i].tobytes()
+        assert bytes(r["raw_fp"]) == oracle_result.raw_fp[i].tobytes()
+        assert r["is_silence"] == bool(oracle_result.is_silence[i])
+        assert r["degenerate"] == bool(oracle_result.degenerate[i])
+        assert r["bands"] == oracle_result.bands[i].tolist()
+
+
+def test_scored_pairs_match_oracle(stages, oracle_result):
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_shared_bands"], r["score"])
+        for r in stages["scored"].collect()
+    }
+    want = {(a, b): (n, s) for a, b, n, s in oracle_result.pairs}
+    assert got == want
+
+
+def test_verified_pairs_match_oracle(stages, oracle_result):
+    got = {(r["id_a"], r["id_b"]) for r in stages["verified"].collect()}
+    want = {(a, b) for a, b, _ in oracle_result.verified_pairs}
+    assert got == want
+
+
+def test_clusters_match_oracle(stages, oracle_result):
+    got = {r["image_id"]: r["cluster_id"] for r in stages["clusters"].collect()}
+    assert got == oracle_result.clusters
+
+
+def test_quarantine_bad_rows(spark):
+    from mnemophonix_spark.operators.fingerprint import fingerprint
+    from mnemophonix_spark import codecs, corpusgen
+    import numpy as np
+
+    good = codecs.encode_png(
+        np.round(np.random.default_rng(0).uniform(0, 255, (40, 40)))
+    )
+    df = spark.createDataFrame(
+        [
+            ("ok", bytearray(good), 40, 40, "png", "cap", 0),
+            ("bad", bytearray(b"not an image"), 1, 1, "png", "cap", 0),
+        ],
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )
+    out = {r["image_id"]: r for r in fingerprint(df).collect()}
+    assert out["ok"]["decode_error"] is None
+    assert out["ok"]["minhash"] is not None
+    assert out["bad"]["decode_error"] is not None
+    assert out["bad"]["minhash"] is None
+
+
+def test_resume_skips_committed_stages(spark, corpus_dir, tmp_path):
+    events = []
+    log = events.append
+    pipeline.run_dedup(spark, corpus_dir, work_dir=str(tmp_path), log=log)
+    assert all(e.startswith("[commit]") for e in events) and events
+
+    events2 = []
+    stages = pipeline.run_dedup(spark, corpus_dir, work_dir=str(tmp_path),
+                                log=events2.append)
+    assert all(e.startswith("[resume]") for e in events2)
+    # resumed output is intact
+    assert stages["clusters"].count() > 0
+    # lineage records exist with per-partition counts
+    import glob
+    import json
+
+    markers = glob.glob(str(tmp_path) + "/*/*/_LINEAGE.json")
+    assert markers
+    meta = json.load(open(markers[0]))
+    assert meta["rows"] >= 0 and "partitions" in meta
+
+
+def test_connected_components_on_chain(spark):
+    """Path graph a-b-c-d-e collapses to min label in O(log n) rounds."""
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("d", "c"), ("e", "d"), ("x", "y")],
+        "id_a string, id_b string",
+    )
+    got = {
+        r["image_id"]: r["cluster_id"]
+        for r in comp.connected_components(edges).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "a",
+                   "x": "x", "y": "x"}
+
+
+def test_assign_clusters_singletons(spark):
+    corpus_ids = spark.createDataFrame(
+        [("a",), ("b",), ("c",)], "image_id string"
+    )
+    components = spark.createDataFrame(
+        [("a", "a"), ("b", "a")], "image_id string, cluster_id string"
+    )
+    got = {
+        r["image_id"]: r["cluster_id"]
+        for r in comp.assign_clusters(corpus_ids, components).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "c"}
+
+
+def test_bands_explode_jvm_side(stages, spark):
+    """The band explode must be a JVM posexplode, not a Python UDF stage."""
+    from mnemophonix_spark.operators import lsh
+    from mnemophonix_spark.operators.fingerprint import valid_signatures
+
+    bands = lsh.explode_bands(valid_signatures(stages["signatures"]))
+    plan = bands._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" in plan  # posexplode
+    n_sigs = valid_signatures(stages["signatures"]).count()
+    assert bands.count() == 25 * n_sigs
+
+
+def test_hot_bucket_cap_drops_pathological_bucket(spark):
+    """Near-constant images concentrate on one band key; the cap must
+    bound the candidate blowup and the dropped bucket must be observable."""
+    from mnemophonix_spark.operators import lsh
+
+    rows = [(f"id{i}", 0, 12345) for i in range(40)] + [("a", 1, 7), ("b", 1, 7)]
+    bands = spark.createDataFrame(
+        rows, "image_id string, band_id int, band_hash long"
+    ).select("band_id", "band_hash", "image_id")
+    cand = lsh.candidate_pairs(bands, cap=10, min_band_matches=1)
+    got = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert got == {("a", "b")}  # hot bucket dropped entirely
+    hot = lsh.hot_buckets(bands, cap=10).collect()
+    assert len(hot) == 1 and hot[0]["bucket_size"] == 40
