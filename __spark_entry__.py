@@ -1,38 +1,473 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship doc near-dup query at sf0.001.
+``queries()`` — one entry per implemented operator family (SURVEY.md §2
+plus the training-data-pipeline extensions); each callable takes
+(spark, sf_dir) and returns a DataFrame.
+``oracle_sql()`` — exact ANSI-SQL twins runnable by DuckDB on the
+pre-registered testdata views.  The image-chain queries (not
+SQL-expressible) are checked against parquet fixtures precomputed by
+the single-process NumPy oracle (tools/make_image_oracle.py) via
+read_parquet; the two stateful/iterative ops (connected components,
+full pipeline) are rows-only.
+
+Cross-engine determinism rules used throughout:
+- decimal casts before sums (double addition is order-dependent);
+- md5 hex strings as the only hash function (identical in both);
+- round(x, 6) on any double ratio;
+- deterministic tie-breaks on every top-N.
 """
 
 from __future__ import annotations
 
+import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+CACHE_ROOT = "/root/repo/.cache"
+FIXTURES = "/root/repo/tests/fixtures"
+
+# synthetic image corpus rows per sf tier (deterministic, seed 42)
+_SF_TO_N = {"0.001": 120, "0.01": 300, "0.1": 2000}
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _corpus_rows_for(sf_dir: str) -> int:
+    m = re.search(r"sf(\d+(?:\.\d+)?)", sf_dir)
+    return _SF_TO_N.get(m.group(1) if m else "", 300)
+
+
+def _image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mnemophonix_spark import corpusgen
+
+    corpus_dir = corpusgen.ensure_corpus(CACHE_ROOT, _corpus_rows_for(sf_dir))
+    return spark.read.parquet(f"{corpus_dir}/corpus")
+
+
+def _image_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    from mnemophonix_spark import corpusgen, pipeline
+
+    corpus_dir = corpusgen.ensure_corpus(CACHE_ROOT, _corpus_rows_for(sf_dir))
+    return pipeline.run_dedup(spark, corpus_dir)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: banded-MinHash near-dup candidates over documents."""
+    from mnemophonix_spark.operators import dedup_text
 
+    docs = _read(spark, "/root/testdata/sf0.001", "documents")
+    return dedup_text.minhash_band_pairs(docs)
+
+
+# ===========================================================================
+# queries
+# ===========================================================================
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from pyspark.sql import functions as F
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from mnemophonix_spark.operators import (
+        dedup_text,
+        relational,
+        similarity,
+        textstats,
+    )
+
+    def q_pricing(spark, sf):
+        return relational.pricing_summary(_read(spark, sf, "lineitem"))
+
+    def q_top_customers(spark, sf):
+        return relational.top_revenue_customers(
+            _read(spark, sf, "lineitem"),
+            _read(spark, sf, "orders"),
+            _read(spark, sf, "customer"),
+        )
+
+    def q_events_rollup(spark, sf):
+        return relational.events_hourly_rollup(_read(spark, sf, "events"))
+
+    def q_sessionize(spark, sf):
+        return relational.user_sessionize(_read(spark, sf, "events"))
+
+    def q_doc_exact(spark, sf):
+        return dedup_text.exact_dedup(_read(spark, sf, "documents"))
+
+    def q_doc_minhash_sig(spark, sf):
+        return dedup_text.minhash_signatures(_read(spark, sf, "documents"))
+
+    def q_doc_band_pairs(spark, sf):
+        return dedup_text.minhash_band_pairs(_read(spark, sf, "documents"))
+
+    def q_doc_jaccard(spark, sf):
+        return dedup_text.ngram_jaccard_pairs(_read(spark, sf, "documents"))
+
+    def q_doc_simhash(spark, sf):
+        return dedup_text.simhash64(_read(spark, sf, "documents"))
+
+    def q_doc_tokens(spark, sf):
+        return textstats.token_stats(_read(spark, sf, "documents"))
+
+    def q_doc_quality(spark, sf):
+        return textstats.quality_score(_read(spark, sf, "documents"))
+
+    def q_doc_lang(spark, sf):
+        return textstats.lang_id(_read(spark, sf, "documents"))
+
+    def q_doc_fingerprint(spark, sf):
+        return textstats.doc_fingerprint(_read(spark, sf, "documents"))
+
+    def q_ann_topk(spark, sf):
+        emb = _read(spark, sf, "embeddings")
+        return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 8))
+
+    def q_emb_lsh(spark, sf):
+        return similarity.hyperplane_lsh_buckets(_read(spark, sf, "embeddings"))
+
+    def q_emb_lsh_ann(spark, sf):
+        emb = _read(spark, sf, "embeddings")
+        return similarity.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 8))
+
+    # --- image chain (synthetic corpus; oracle = NumPy fixtures) ----------
+    def q_img_signature_digest(spark, sf):
+        from mnemophonix_spark.operators.fingerprint import fingerprint
+
+        sigs = fingerprint(_image_corpus(spark, sf))
+        return sigs.filter(F.col("decode_error").isNull()).select(
+            "image_id",
+            F.lower(F.md5(F.hex(F.col("minhash")))).alias("minhash_md5"),
+            "is_silence",
+        )
+
+    def q_img_scored_pairs(spark, sf):
+        return _image_stages(spark, sf)["scored"].select(
+            "id_a", "id_b", "n_shared_bands", "score"
+        )
+
+    def q_img_verified_pairs(spark, sf):
+        return _image_stages(spark, sf)["verified"].select("id_a", "id_b")
+
+    def q_img_clusters(spark, sf):
+        return _image_stages(spark, sf)["clusters"]
+
+    def q_img_bands(spark, sf):
+        from mnemophonix_spark.operators import lsh
+        from mnemophonix_spark.operators.fingerprint import (
+            fingerprint,
+            valid_signatures,
+        )
+
+        return lsh.explode_bands(valid_signatures(fingerprint(_image_corpus(spark, sf))))
+
+    return {
+        "pricing_summary": q_pricing,
+        "top_revenue_customers": q_top_customers,
+        "events_hourly_rollup": q_events_rollup,
+        "user_sessionize": q_sessionize,
+        "doc_exact_dedup": q_doc_exact,
+        "doc_minhash_signatures": q_doc_minhash_sig,
+        "doc_minhash_band_pairs": q_doc_band_pairs,
+        "doc_ngram_jaccard_pairs": q_doc_jaccard,
+        "doc_simhash64": q_doc_simhash,
+        "doc_token_stats": q_doc_tokens,
+        "doc_quality_score": q_doc_quality,
+        "doc_lang_id": q_doc_lang,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ann_cosine_topk": q_ann_topk,
+        "emb_lsh_buckets": q_emb_lsh,
+        "emb_lsh_ann_topk": q_emb_lsh_ann,
+        "img_signature_digest": q_img_signature_digest,
+        "img_scored_pairs": q_img_scored_pairs,
+        "img_verified_pairs": q_img_verified_pairs,
+        "img_clusters": q_img_clusters,
+        "img_bands": q_img_bands,
+    }
+
+
+# ===========================================================================
+# oracle SQL (DuckDB dialect-compatible ANSI)
+# ===========================================================================
+
+_STOPWORDS_SQL = "('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','be','this','that')"
+
+# shared CTE: (id, pos, word) whitespace tokenization
+_WORDS_CTE = """
+words AS (
+  SELECT doc_id AS id,
+         unnest(string_split_regex(lower(text), '\\s+')) AS word,
+         generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS pos
+  FROM documents
+)
+"""
+
+_SHINGLES3_CTE = _WORDS_CTE + """,
+led AS (
+  SELECT id, pos, word,
+         lead(word, 1) OVER (PARTITION BY id ORDER BY pos) AS w1,
+         lead(word, 2) OVER (PARTITION BY id ORDER BY pos) AS w2
+  FROM words
+),
+shingles AS (
+  SELECT DISTINCT id, word || ' ' || w1 || ' ' || w2 AS shingle
+  FROM led WHERE w2 IS NOT NULL
+)
+"""
+
+_SHINGLES5_CTE = _WORDS_CTE + """,
+led AS (
+  SELECT id, pos, word,
+         lead(word, 1) OVER (PARTITION BY id ORDER BY pos) AS w1,
+         lead(word, 2) OVER (PARTITION BY id ORDER BY pos) AS w2,
+         lead(word, 3) OVER (PARTITION BY id ORDER BY pos) AS w3,
+         lead(word, 4) OVER (PARTITION BY id ORDER BY pos) AS w4
+  FROM words
+),
+shingles AS (
+  SELECT DISTINCT id,
+         word || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4 AS shingle
+  FROM led WHERE w4 IS NOT NULL
+)
+"""
+
+_MINHASH_CTE = _SHINGLES3_CTE + """,
+perm_ids AS (SELECT unnest(range(0, 16)) AS perm_id),
+hashes AS (
+  SELECT s.id, p.perm_id,
+         md5(p.perm_id::VARCHAR || ':' || s.shingle) AS h
+  FROM shingles s CROSS JOIN perm_ids p
+),
+minhash_sig AS (
+  SELECT id, perm_id, min(h) AS minhash FROM hashes GROUP BY id, perm_id
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    img120 = f"{FIXTURES}/image_oracle_n120"
+    img300 = f"{FIXTURES}/image_oracle_n300"
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(l_quantity AS DECIMAL(20,4))) AS sum_qty,
+                   sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS sum_base_price,
+                   sum(CAST(CAST(l_extendedprice AS DECIMAL(20,4))
+                       * (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4)))
+                       AS DECIMAL(20,4))) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_revenue_customers": """
+            SELECT c_custkey, c_name,
+                   sum(CAST(CAST(l_extendedprice AS DECIMAL(20,4))
+                       * (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4)))
+                       AS DECIMAL(20,4))) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 10
+        """,
+        "events_hourly_rollup": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n_events,
+                   sum(CAST(value AS DECIMAL(20,4))) AS sum_value,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2
+        """,
+        "user_sessionize": """
+            WITH g AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_session,
+                     CASE WHEN lag(ts) OVER w IS NULL THEN 1 ELSE NULL END AS first_row
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+              SELECT user_id, ts,
+                     sum(coalesce(first_row, new_session))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+              FROM g
+            )
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_id,
+                   count(*) AS n_events, min(ts) AS session_start
+            FROM s GROUP BY user_id, session_seq
+        """,
+        "doc_exact_dedup": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "doc_minhash_signatures": f"WITH {_MINHASH_CTE} SELECT id, perm_id, minhash FROM minhash_sig",
+        "doc_minhash_band_pairs": f"""
+            WITH {_MINHASH_CTE},
+            bands AS (
+              SELECT id, CAST(perm_id // 2 AS INT) AS band_id,
+                     md5(string_agg(perm_id::VARCHAR || ':' || minhash, '|'
+                         ORDER BY perm_id::VARCHAR || ':' || minhash)) AS band_hash
+              FROM minhash_sig GROUP BY id, CAST(perm_id // 2 AS INT)
+            )
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared_bands
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+            WHERE a.id < b.id
+            GROUP BY a.id, b.id
+            HAVING count(*) >= 1
+        """,
+        "doc_ngram_jaccard_pairs": f"""
+            WITH {_SHINGLES3_CTE},
+            sizes AS (SELECT id, count(*) AS n_shingles FROM shingles GROUP BY id),
+            common AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+              FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+              WHERE a.id < b.id GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b, n_common,
+                   round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6)
+                     AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) >= 0.4
+        """,
+        "doc_simhash64": f"""
+            WITH {_WORDS_CTE},
+            bits AS (
+              SELECT w.id, w.word, b.b,
+                     (instr('0123456789abcdef',
+                            substr(md5(w.word), CAST(b.b // 4 AS INT) + 1, 1)) - 1)
+                       AS nibble
+              FROM (SELECT id, word FROM words) w
+              CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b
+            ),
+            sums AS (
+              SELECT id, b,
+                     sum((CAST(floor(nibble / power(2, 3 - (b % 4))) AS INT) % 2) * 2 - 1)
+                       AS s
+              FROM bits GROUP BY id, b
+            )
+            SELECT id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
+                                  ORDER BY b) AS simhash
+            FROM sums GROUP BY id
+        """,
+        "doc_token_stats": """
+            SELECT doc_id AS id,
+                   length(text) AS n_chars,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                   round((length(text)
+                          - (length(text) - length(regexp_replace(text, '\\s', '', 'g'))))
+                         / len(string_split_regex(trim(text), '\\s+')), 6)
+                     AS avg_token_len,
+                   round((length(text)
+                          - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+                         / length(text), 6) AS punct_ratio
+            FROM documents
+        """,
+        "doc_quality_score": f"""
+            WITH {_WORDS_CTE},
+            sw AS (
+              SELECT id,
+                     round(sum(CASE WHEN word IN {_STOPWORDS_SQL} THEN 1 ELSE 0 END)
+                           / count(*), 6) AS stopword_ratio
+              FROM words GROUP BY id
+            ),
+            stats AS (
+              SELECT doc_id AS id, length(text) AS n_chars,
+                     round((length(text)
+                            - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+                           / length(text), 6) AS punct_ratio
+              FROM documents
+            )
+            SELECT stats.id, coalesce(sw.stopword_ratio, 0.0) AS stopword_ratio,
+                   round(
+                     (CASE WHEN n_chars BETWEEN 50 AND 5000 THEN 0.4 ELSE 0.0 END)
+                     + (CASE WHEN punct_ratio <= 0.2 THEN 0.3 ELSE 0.0 END)
+                     + (CASE WHEN coalesce(sw.stopword_ratio, 0) >= 0.05 THEN 0.3 ELSE 0.0 END),
+                   2) AS quality
+            FROM stats LEFT JOIN sw ON stats.id = sw.id
+        """,
+        "doc_lang_id": f"""
+            WITH {_WORDS_CTE},
+            sw AS (
+              SELECT id,
+                     round(sum(CASE WHEN word IN {_STOPWORDS_SQL} THEN 1 ELSE 0 END)
+                           / count(*), 6) AS stopword_ratio
+              FROM words GROUP BY id
+            ),
+            base AS (
+              SELECT doc_id AS id,
+                     round(length(regexp_replace(text, '[^A-Za-z\\s]', '', 'g'))
+                           / length(text), 6) AS ascii_ratio
+              FROM documents
+            )
+            SELECT base.id,
+                   CASE WHEN sw.stopword_ratio >= 0.05 AND base.ascii_ratio >= 0.8
+                        THEN 'en' ELSE 'other' END AS lang_pred
+            FROM base JOIN sw ON base.id = sw.id
+        """,
+        "doc_fingerprint": f"""
+            WITH {_SHINGLES5_CTE}
+            SELECT id, min(md5(shingle)) AS fingerprint FROM shingles GROUP BY id
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 8),
+            elems AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     unnest(q.qv) AS qx, unnest(e.embedding) AS ex
+              FROM q CROSS JOIN embeddings e
+              WHERE e.vec_id != q.query_id
+            ),
+            s AS (
+              SELECT query_id, neighbor_id,
+                     sum(CAST(qx AS DOUBLE) * CAST(ex AS DOUBLE)) AS dot,
+                     sqrt(sum(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE))) AS nq,
+                     sqrt(sum(CAST(ex AS DOUBLE) * CAST(ex AS DOUBLE))) AS ne
+              FROM elems GROUP BY query_id, neighbor_id
+            ),
+            r AS (
+              SELECT query_id, neighbor_id, round(dot / (nq * ne), 6) AS cos_sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY round(dot / (nq * ne), 6) DESC, neighbor_id)
+                       AS rank
+              FROM s
+            )
+            SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5
+        """,
+        "emb_lsh_buckets": """
+            WITH dims AS (
+              SELECT vec_id AS id, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) - 1 AS d
+              FROM embeddings
+            ),
+            planes AS (
+              SELECT dims.id, dims.d, dims.x, p.p,
+                     (instr('0123456789abcdef',
+                            substr(md5('1234:' || p.p::VARCHAR || ':' || dims.d::VARCHAR), 1, 1))
+                      - 1) - 7.5 AS w
+              FROM dims CROSS JOIN (SELECT unnest(range(0, 8)) AS p) p
+            ),
+            projs AS (
+              SELECT id, p, sum(w * CAST(x AS DOUBLE)) AS proj
+              FROM planes GROUP BY id, p
+            )
+            SELECT id,
+                   sum(CAST((CASE WHEN proj > 0 THEN 1 ELSE 0 END)
+                       * CAST(power(2, p) AS BIGINT) AS BIGINT)) AS bucket
+            FROM projs GROUP BY id
+        """,
+        # image chain: NumPy-oracle parquet fixtures (chain itself is not
+        # SQL-expressible; fixtures produced by tools/make_image_oracle.py)
+        "img_signature_digest": f"SELECT image_id, minhash_md5, is_silence FROM read_parquet('{img300}/signature_digest.parquet')",
+        "img_scored_pairs": f"SELECT id_a, id_b, n_shared_bands, score FROM read_parquet('{img300}/scored_pairs.parquet')",
+        "img_verified_pairs": f"SELECT id_a, id_b FROM read_parquet('{img300}/verified_pairs.parquet')",
+        "img_clusters": f"SELECT image_id, cluster_id FROM read_parquet('{img300}/clusters.parquet')",
+        # img_bands, emb_lsh_ann_topk: rows-only (no SQL twin)
+    }

@@ -125,11 +125,12 @@ def _encode_row(image_id: str, luma: np.ndarray, w: int, h: int, fmt: str,
     }
 
 
-def generate(n_rows: int, seed: int = SEED) -> Corpus:
+def generate(n_rows: int, seed: int = SEED, id_offset: int = 0) -> Corpus:
     rng = np.random.default_rng(seed)
     corpus = Corpus()
     n_dup_rows = int(n_rows * 0.10)
-    i = 0
+    i = id_offset
+    n_rows = id_offset + n_rows
 
     # --- planted duplicate clusters --------------------------------------
     while n_dup_rows >= 2:
@@ -266,4 +267,72 @@ def ensure_corpus(cache_root: str, n_rows: int, seed: int = SEED) -> str:
         write_corpus(out_dir, n_rows, seed)
         with open(marker, "w") as f:
             f.write("ok\n")
+    return out_dir
+
+
+# ---------------------------------------------------------------------------
+# parallel generation for bench-scale corpora
+# ---------------------------------------------------------------------------
+
+def _write_chunk(args: tuple) -> tuple[list, list]:
+    """Worker: generate one deterministic chunk and write its parquet.
+
+    Chunk i derives its stream from rng seed [seed, i] and owns the id
+    range [i*chunk_rows, (i+1)*chunk_rows) — the corpus is identical for
+    a given (n_rows, seed, n_chunks) regardless of worker scheduling.
+    Duplicate clusters are planted within chunks only.
+    """
+    out_dir, chunk_id, chunk_rows, seed = args
+    rng_seed = np.random.default_rng([seed, chunk_id])
+    c = generate(chunk_rows, seed=int(rng_seed.integers(0, 2**31)),
+                 id_offset=chunk_id * chunk_rows)
+    table = pa.Table.from_pylist(c.rows, schema=corpus_schema())
+    pq.write_table(
+        table,
+        os.path.join(out_dir, "corpus", f"part-{chunk_id:04d}.parquet"),
+        row_group_size=256,
+    )
+    return c.truth_pairs, c.truth_clusters
+
+
+def ensure_corpus_parallel(
+    cache_root: str,
+    n_rows: int,
+    seed: int = SEED,
+    n_chunks: int = 32,
+    workers: int | None = None,
+) -> str:
+    """Parallel idempotent corpus build for throughput benchmarks."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    out_dir = os.path.join(cache_root, f"corpus_n{n_rows}_s{seed}_c{n_chunks}")
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(os.path.join(out_dir, "corpus"), exist_ok=True)
+    chunk_rows = n_rows // n_chunks
+    jobs = [(out_dir, i, chunk_rows, seed) for i in range(n_chunks)]
+    pairs: list = []
+    clusters: list = []
+    with ProcessPoolExecutor(max_workers=workers or min(n_chunks, os.cpu_count())) as ex:
+        for tp, tc in ex.map(_write_chunk, jobs):
+            pairs.extend(tp)
+            clusters.extend(tc)
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"id_a": a, "id_b": b, "kind": k} for a, b, k in pairs],
+            schema=pa.schema([("id_a", pa.string()), ("id_b", pa.string()),
+                              ("kind", pa.int32())]),
+        ),
+        os.path.join(out_dir, "truth_pairs.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"image_id": m, "cluster_id": c} for m, c in clusters],
+            schema=pa.schema([("image_id", pa.string()), ("cluster_id", pa.string())]),
+        ),
+        os.path.join(out_dir, "truth_clusters.parquet"),
+    )
+    with open(marker, "w") as f:
+        f.write("ok\n")
     return out_dir

@@ -69,20 +69,31 @@ def connected_components(
     ``coalesce(cluster_id, image_id)`` for a total assignment
     (see ``assign_clusters``).
     """
+    def _stats(df: DataFrame) -> tuple[int, int]:
+        # one action: (edge count, order-insensitive xxhash64 checksum)
+        row = df.agg(
+            F.count("*").alias("n"),
+            # decimal sum: ANSI mode would overflow a long sum of hashes
+            F.coalesce(
+                F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).first()
+        return int(row["n"]), int(row["h"])
+
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).distinct()
     edges = edges.localCheckpoint(eager=True)
+    prev = _stats(edges)
 
     for _ in range(max_iterations):
         edges2 = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        # fixpoint: the edge multiset no longer changes.  Compare via an
-        # order-insensitive checksum (one small aggregate per side).
-        delta = edges2.exceptAll(edges).limit(1).count()
-        same_size = edges2.count() == edges.count()
+        cur = _stats(edges2)
         edges = edges2
-        if same_size and delta == 0:
+        if cur == prev:  # fixpoint: identical count + checksum
             break
+        prev = cur
 
     # at fixpoint every edge is (node -> component min)
     labels = edges.groupBy("src").agg(F.min("dst").alias("cluster_id"))

@@ -57,7 +57,11 @@ def run_dedup(
 
     def stage(name: str, build) -> DataFrame:
         if store is None:
-            return build()
+            # no checkpoint dir: persist stage outputs so downstream
+            # stages (and the iterative CC loop) never recompute the
+            # expensive upstream chain — `valid` alone is referenced
+            # twice by score_pairs and the corpus twice by verify
+            return build().persist()
         return store.run_stage(name, build, input_fingerprint=fp, log=log)
 
     signatures = stage("signatures", lambda: fingerprint(corpus))

@@ -1,0 +1,117 @@
+"""Local stand-in for the driver's correctness gate: run every
+__spark_entry__ query on Spark AND its oracle_sql twin on DuckDB,
+compare row count, column names, and order-insensitive values.
+
+Usage: python tools/crosscheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            try:
+                df[c] = df[c].astype(float)
+                continue
+            except (ValueError, TypeError):
+                pass
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype(str)
+        elif df[c].dtype in (np.float32,):
+            df[c] = df[c].astype(float)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> str:
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        return f"SCHEMA MISMATCH spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"
+    if len(spark_df) != len(duck_df):
+        return f"ROWCOUNT MISMATCH spark={len(spark_df)} duck={len(duck_df)}"
+    a, b = normalize(spark_df.copy()), normalize(duck_df.copy())
+    for c in a.columns:
+        av, bv = a[c].values, b[c].values
+        if a[c].dtype == float:
+            ok = np.allclose(av.astype(float), bv.astype(float), atol=1e-9, equal_nan=True)
+        else:
+            ok = (av == bv).all()
+        if not ok:
+            bad = next(i for i in range(len(av)) if not _eq(av[i], bv[i]))
+            return f"VALUE MISMATCH col={c} row{bad}: spark={av[bad]!r} duck={bv[bad]!r}"
+    return "OK"
+
+
+def _eq(x, y):
+    try:
+        return bool(np.isclose(float(x), float(y), atol=1e-9))
+    except (ValueError, TypeError):
+        return x == y
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from mnemophonix_spark.session import get_spark
+
+    spark = get_spark(app_name="crosscheck")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = e.queries()
+    sqls = e.oracle_sql()
+    results = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        import time
+
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as ex:
+            results[name] = f"SPARK ERROR: {ex}"
+            print(f"{name:28s} SPARK ERROR: {str(ex)[:200]}")
+            continue
+        sql = sqls.get(name)
+        if sql is None:
+            results[name] = f"rows-only ({len(sdf)} rows)"
+            print(f"{name:28s} rows-only: {len(sdf)} rows  [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            ddf = con.execute(sql).df()
+        except Exception as ex:
+            results[name] = f"DUCK ERROR: {ex}"
+            print(f"{name:28s} DUCK ERROR: {str(ex)[:200]}")
+            continue
+        verdict = compare(sdf, ddf)
+        results[name] = verdict
+        print(f"{name:28s} {verdict}  ({len(sdf)} rows)  [{time.time()-t0:.1f}s]")
+
+    n_bad = sum(1 for v in results.values() if v != "OK" and not v.startswith("rows-only"))
+    print(f"\n{len(results)} queries, {n_bad} problems")
+    spark.stop()
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()
