@@ -93,30 +93,42 @@ def main() -> None:
     spark.stop()
 
     if scaling:
-        result["scaling"] = run_scaling(corpus_dir, n_rows)
+        # scaling evidence needs a compute-dominant job: at 20k rows the
+        # fixed Spark overhead (~10 s: session, scheduling, worker spawn)
+        # flattens any core-count ratio.  Default 100k rows.
+        scaling_rows = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "100000"))
+        scaling_dir = _image_corpus_dir(scaling_rows)
+        result["scaling"] = run_scaling(scaling_dir, scaling_rows)
 
     print(json.dumps(result))
 
 
-def run_scaling(corpus_dir: str, n_rows: int) -> dict:
+def run_scaling(corpus_dir: str, n_rows: int, repeats: int = 2) -> dict:
     """Same job, same input, two parallelism levels (north_rule evidence:
     no real cluster in this sandbox, so N vs 4N executors is local[8] vs
-    local[32] per driver instruction)."""
+    local[32] per driver instruction).  Runs interleave and the min per
+    config is kept — this VM has noisy-neighbor variance, and min is the
+    standard contention-robust estimator for scaling studies."""
     from mnemophonix_spark.session import get_spark
 
+    times: dict[int, list[float]] = {8: [], 32: []}
+    for _ in range(repeats):
+        for cores in (8, 32):
+            spark = get_spark(
+                app_name=f"mnemophonix-scaling-{cores}", master=f"local[{cores}]"
+            )
+            t0 = time.time()
+            run_image_pipeline(spark, corpus_dir)
+            times[cores].append(time.time() - t0)
+            spark.stop()
     out = {}
     for cores in (8, 32):
-        spark = get_spark(
-            app_name=f"mnemophonix-scaling-{cores}", master=f"local[{cores}]"
-        )
-        t0 = time.time()
-        run_image_pipeline(spark, corpus_dir)
-        dt = time.time() - t0
+        best = min(times[cores])
         out[f"local[{cores}]"] = {
-            "sec": round(dt, 3),
-            "images_per_sec": round(n_rows / dt, 1),
+            "sec": round(best, 3),
+            "all_runs_sec": [round(t, 3) for t in times[cores]],
+            "images_per_sec": round(n_rows / best, 1),
         }
-        spark.stop()
     speedup = out["local[8]"]["sec"] / out["local[32]"]["sec"]
     out["speedup_8_to_32"] = round(speedup, 3)
     out["scaling_efficiency"] = round(speedup / 4.0, 3)

@@ -60,7 +60,8 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    pairs: DataFrame, max_iterations: int = 20
+    pairs: DataFrame, max_iterations: int = 20,
+    driver_threshold: int = 2_000_000
 ) -> DataFrame:
     """pairs(id_a, id_b) -> (image_id, cluster_id) for non-singleton nodes.
 
@@ -68,6 +69,15 @@ def connected_components(
     no accepted pair) are not emitted; join back to the corpus with
     ``coalesce(cluster_id, image_id)`` for a total assignment
     (see ``assign_clusters``).
+
+    Hybrid execution: the accepted-pair edge list of a dedup job is
+    orders of magnitude smaller than the corpus, so below
+    ``driver_threshold`` edges the labelling runs as one driver-side
+    union-find (a single collect of two string columns) — the iterative
+    shuffle loop costs ~3 fixed-latency Spark jobs per round, which
+    dwarfs the work at that size.  Above the threshold the distributed
+    large-star/small-star loop runs; both paths produce identical labels
+    (pinned by tests).
     """
     def _stats(df: DataFrame) -> tuple[int, int]:
         # one action: (edge count, order-insensitive xxhash64 checksum)
@@ -86,6 +96,9 @@ def connected_components(
     ).distinct()
     edges = edges.localCheckpoint(eager=True)
     prev = _stats(edges)
+
+    if prev[0] <= driver_threshold:
+        return _driver_components(edges)
 
     for _ in range(max_iterations):
         edges2 = _small_star(_large_star(edges)).localCheckpoint(eager=True)
@@ -106,6 +119,45 @@ def connected_components(
         .agg(F.min("cluster_id").alias("cluster_id"))
         .select(F.col("src").alias("image_id"), "cluster_id")
     )
+
+
+def _driver_components(edges: DataFrame) -> DataFrame:
+    """Driver-side union-find over a collected small edge list.
+
+    Identical semantics to the distributed loop: labels every node that
+    appears in an edge with the lexicographic component minimum.
+    """
+    rows = edges.select("src", "dst").collect()
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        a, b = r["src"], r["dst"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = [(n, find(n)) for n in parent]
+    spark = edges.sparkSession
+    if not out:
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("image_id", T.StringType()),
+                    T.StructField("cluster_id", T.StringType()),
+                ]
+            ),
+        )
+    return spark.createDataFrame(out, "image_id string, cluster_id string")
 
 
 def assign_clusters(corpus_ids: DataFrame, components: DataFrame) -> DataFrame:

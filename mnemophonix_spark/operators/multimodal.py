@@ -1,0 +1,141 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The corpus pattern generalizes beyond images: audio/video/document
+payloads ride as ``binary`` columns with typed metadata, and
+decode/feature-extract/resize/frame-sample run as Arrow-batched
+kernels.  This container ships no audio/video codecs, so per the build
+rules the DECODE STEP for those modalities is a clearly-marked
+deterministic fake (``fake-pcm`` / ``fake-video``) behind the same
+Spark-side plumbing the real kernels would use — schema, partitioning,
+UDF signature, and batch shape are real and tested; swapping in
+libsndfile/ffmpeg-backed decoders changes only the per-batch body.
+
+Image decode is NOT stubbed (pure-NumPy codecs, mnemophonix_spark.codecs).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_FPCM_MAGIC = b"FPCM"  # fake audio container: rate u32 + f32 samples
+_FVID_MAGIC = b"FVID"  # fake video container: n_frames u16, w u16, h u16 + u8 frames
+
+
+class UnsupportedModality(NotImplementedError):
+    """Raised for payloads whose real codec is absent in this container."""
+
+
+# --------------------------------------------------------------------------
+# deterministic fake codecs (stand-ins; bitstream format is the stub)
+# --------------------------------------------------------------------------
+
+def encode_fake_pcm(samples: np.ndarray, rate: int = 5512) -> bytes:
+    return _FPCM_MAGIC + struct.pack("<I", rate) + samples.astype("<f4").tobytes()
+
+
+def decode_fake_pcm(data: bytes) -> tuple[np.ndarray, int]:
+    if not data.startswith(_FPCM_MAGIC):
+        raise UnsupportedModality(
+            "real audio decode requires libsndfile/ffmpeg (absent here); "
+            "only the deterministic FPCM stand-in is decodable"
+        )
+    rate = struct.unpack_from("<I", data, 4)[0]
+    return np.frombuffer(data, dtype="<f4", offset=8).copy(), rate
+
+
+def encode_fake_video(frames: np.ndarray) -> bytes:
+    n, h, w = frames.shape
+    return (
+        _FVID_MAGIC
+        + struct.pack("<HHH", n, w, h)
+        + np.clip(frames, 0, 255).astype(np.uint8).tobytes()
+    )
+
+
+def decode_fake_video(data: bytes) -> np.ndarray:
+    if not data.startswith(_FVID_MAGIC):
+        raise UnsupportedModality(
+            "real video decode requires ffmpeg (absent here); "
+            "only the deterministic FVID stand-in is decodable"
+        )
+    n, w, h = struct.unpack_from("<HHH", data, 4)
+    return (
+        np.frombuffer(data, dtype=np.uint8, offset=10)
+        .reshape(n, h, w)
+        .astype(np.float32)
+    )
+
+
+# --------------------------------------------------------------------------
+# Spark plumbing (real): frame sampling + per-frame fingerprints
+# --------------------------------------------------------------------------
+
+FRAME_SIGNATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("minhash", T.BinaryType()),
+        T.StructField("is_silence", T.BooleanType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def video_frame_signatures(
+    media: DataFrame, every_nth: int = 2
+) -> DataFrame:
+    """(media_id, bytes) video rows -> one signature row per sampled frame.
+
+    The multi-signature path of the reference (one signature per
+    spectral image, many per entry — fingerprintio.h:16): sampled
+    frames play the role of overlapping spectral windows, and the
+    per-entry aggregate thresholds (search.c:19-29) become applicable
+    again via ``oracle.aggregate_entry_scores`` semantics.
+    """
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from mnemophonix_spark.functions import kernels
+
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            payloads = batch.column("bytes").to_pylist()
+            out_id: list[str] = []
+            out_idx: list[int] = []
+            grids: list[np.ndarray] = []
+            errs: list[tuple[str, str]] = []
+            for mid, data in zip(ids, payloads):
+                try:
+                    frames = decode_fake_video(data)
+                except UnsupportedModality as exc:
+                    errs.append((mid, str(exc)))
+                    continue
+                for k in range(0, frames.shape[0], every_nth):
+                    out_id.append(mid)
+                    out_idx.append(k)
+                    grids.append(kernels.luma_to_grid(frames[k]))
+            if grids:
+                sig = kernels.grid_to_signature(np.stack(grids))
+                mh = [sig["minhash"][i].tobytes() for i in range(len(grids))]
+                sil = [bool(s) for s in sig["is_silence"]]
+            else:
+                mh, sil = [], []
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id + [e[0] for e in errs], pa.string()),
+                    pa.array(out_idx + [-1] * len(errs), pa.int32()),
+                    pa.array(mh + [None] * len(errs), pa.binary()),
+                    pa.array(sil + [None] * len(errs), pa.bool_()),
+                    pa.array([None] * len(out_id) + [e[1] for e in errs], pa.string()),
+                ],
+                names=["media_id", "frame_idx", "minhash", "is_silence", "decode_error"],
+            )
+
+    return media.select("media_id", "bytes").mapInArrow(
+        kernel, FRAME_SIGNATURE_SCHEMA
+    )

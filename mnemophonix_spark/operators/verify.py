@@ -73,20 +73,16 @@ def verify_pairs(
 
     Output: (id_a, id_b, n_shared_bands, score, verified_by string).
     """
+    # the scored-pair side is tiny relative to the corpus: broadcast it
+    # through both joins so the corpus streams once with no shuffle
     ph = corpus.select("image_id", "phash")
+    step1 = ph.withColumnRenamed("image_id", "id_a").withColumnRenamed(
+        "phash", "phash_a"
+    ).join(F.broadcast(scored), "id_a")
     with_ph = (
-        scored.join(
-            ph.withColumnRenamed("image_id", "id_a").withColumnRenamed(
-                "phash", "phash_a"
-            ),
-            "id_a",
-        )
-        .join(
-            ph.withColumnRenamed("image_id", "id_b").withColumnRenamed(
-                "phash", "phash_b"
-            ),
-            "id_b",
-        )
+        ph.withColumnRenamed("image_id", "id_b")
+        .withColumnRenamed("phash", "phash_b")
+        .join(F.broadcast(step1), "id_b")
         .withColumn(
             "phash_ham",
             F.bit_count(F.col("phash_a").bitwiseXOR(F.col("phash_b"))),
@@ -103,28 +99,29 @@ def verify_pairs(
         "id_a", "id_b", "n_shared_bands", "score"
     )
 
+    # payload joins: broadcast the (tiny) leftover pair list; image
+    # bytes stream from the scan, are filtered by the broadcast hash
+    # join, and only candidate rows' bytes ever leave the scan stage
     payload = corpus.select("image_id", "bytes", "fmt")
-    joined = (
-        needs_pixels.join(
-            payload.select(
-                F.col("image_id").alias("id_a"),
-                F.col("bytes").alias("bytes_a"),
-                F.col("fmt").alias("fmt_a"),
-            ),
-            "id_a",
-        )
-        .join(
-            payload.select(
-                F.col("image_id").alias("id_b"),
-                F.col("bytes").alias("bytes_b"),
-                F.col("fmt").alias("fmt_b"),
-            ),
-            "id_b",
-        )
-        .select(
-            "id_a", "id_b", "n_shared_bands", "score", "bytes_a", "fmt_a",
-            "bytes_b", "fmt_b",
-        )
+    step_a = payload.select(
+        F.col("image_id").alias("id_a"),
+        F.col("bytes").alias("bytes_a"),
+        F.col("fmt").alias("fmt_a"),
+    ).join(F.broadcast(needs_pixels), "id_a")
+    joined = payload.select(
+        F.col("image_id").alias("id_b"),
+        F.col("bytes").alias("bytes_b"),
+        F.col("fmt").alias("fmt_b"),
+    ).join(
+        # bytes_a rides inside the broadcast: acceptable because the
+        # leftover set (phash gate already passed the easy pairs) is
+        # small by construction; if it ever grows, flip to a shuffle
+        # join via config rather than broadcasting image payloads
+        F.broadcast(step_a),
+        "id_b",
+    ).select(
+        "id_a", "id_b", "n_shared_bands", "score", "bytes_a", "fmt_a",
+        "bytes_b", "fmt_b",
     )
     pixel_ok = (
         joined.mapInArrow(_psnr_batches, _PSNR_SCHEMA)

@@ -1,0 +1,117 @@
+"""Structured Streaming analog of the reference's `ears` app.
+
+The reference's streaming path (ears/main.m:101-188, MicRecorder.mm):
+microphone callbacks fill an 11 s ring buffer sliding by 1 s, a search
+fires once per second after 2 s buffered, and a repeated match is
+suppressed until a new track matches (`last_match`, main.m:61,76-77).
+
+Spark mapping (SURVEY.md §2 streaming table):
+  mic capture source      -> readStream (file source of image rows here;
+                             any streaming source with the corpus schema)
+  sliding ring buffer     -> not needed for stills: each row is one unit
+                             of work (kept: event-time window helper for
+                             rate-limited rollups)
+  trigger once per second -> micro-batch trigger (processingTime /
+                             availableNow for tests)
+  match + last_match dedup-> foreachBatch: fingerprint the batch, LSH
+                             probe against the static index, per-key
+                             dropDuplicates on (query_id, match_id)
+
+The reference has no watermark/late-data concept; we add an event-time
+watermark in `windowed_match_counts` because a real deployment needs
+one (late rows otherwise hold window state forever).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mnemophonix_spark import config as C
+from mnemophonix_spark.operators import lsh
+from mnemophonix_spark.operators.fingerprint import fingerprint, valid_signatures
+
+
+def search_batch(query_corpus: DataFrame, index_signatures: DataFrame) -> DataFrame:
+    """One micro-batch search: fingerprint queries, probe the index.
+
+    Equivalent of search.c:110-194 with the index side precomputed:
+    explode query bands, inner equi-join the index bands on
+    (band_id, band_hash) (lsh.c:89-112 probe without the mod-size
+    collisions), >=2-band gate, byte score >= 30.
+    Output: (query_id, match_id, n_shared_bands, score).
+    """
+    q_sigs = valid_signatures(fingerprint(query_corpus))
+    q_bands = lsh.explode_bands(q_sigs).withColumnRenamed("image_id", "query_id")
+    i_bands = lsh.explode_bands(index_signatures).withColumnRenamed(
+        "image_id", "match_id"
+    )
+    cand = (
+        q_bands.join(i_bands, ["band_id", "band_hash"])
+        .filter(F.col("query_id") != F.col("match_id"))
+        .groupBy("query_id", "match_id")
+        .agg(F.count("*").alias("n_shared_bands"))
+        .filter(F.col("n_shared_bands") >= C.MIN_BAND_MATCHES)
+    )
+    all_sigs = q_sigs.select("image_id", "minhash").unionByName(
+        index_signatures.select("image_id", "minhash")
+    )
+    scored = lsh.score_pairs(
+        cand.withColumnRenamed("query_id", "id_a").withColumnRenamed(
+            "match_id", "id_b"
+        ),
+        all_sigs,
+    )
+    return scored.select(
+        F.col("id_a").alias("query_id"),
+        F.col("id_b").alias("match_id"),
+        "n_shared_bands",
+        "score",
+    )
+
+
+def stream_search(
+    spark: SparkSession,
+    stream_corpus: DataFrame,
+    index_signatures: DataFrame,
+    checkpoint_dir: str,
+    output_table: str = "stream_matches",
+    trigger_available_now: bool = True,
+):
+    """Wire a streaming corpus source through per-batch search into a
+    memory sink, suppressing repeated (query, match) pairs per batch
+    (the last_match dedup analog; cross-batch suppression would use
+    dropDuplicatesWithinWatermark on a real event-time column)."""
+    index_local = index_signatures.persist()
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        matches = search_batch(batch_df, index_local).dropDuplicates(
+            ["query_id", "match_id"]
+        )
+        matches.write.mode("append").saveAsTable(output_table)
+
+    writer = (
+        stream_corpus.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="1 second")  # ears cadence
+    return writer.start()
+
+
+def windowed_match_counts(
+    matches_with_time: DataFrame,
+    window: str = "10 seconds",
+    slide: str = "1 second",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Sliding-window rollup of match events (the ring-buffer analog:
+    MicRecorder.mm 11 s buffer / 1 s slide), with a watermark the
+    reference lacks."""
+    return (
+        matches_with_time.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window, slide), F.col("match_id"))
+        .agg(F.count("*").alias("n_matches"))
+    )

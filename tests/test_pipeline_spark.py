@@ -94,15 +94,20 @@ def test_resume_skips_committed_stages(spark, corpus_dir, tmp_path):
     assert meta["rows"] >= 0 and "partitions" in meta
 
 
-def test_connected_components_on_chain(spark):
-    """Path graph a-b-c-d-e collapses to min label in O(log n) rounds."""
+@pytest.mark.parametrize("driver_threshold", [2_000_000, 0])
+def test_connected_components_on_chain(spark, driver_threshold):
+    """Path graph a-b-c-d-e collapses to min label — identically through
+    the driver-side union-find (small graphs) and the distributed
+    large-star/small-star loop (driver_threshold=0 forces it)."""
     edges = spark.createDataFrame(
         [("b", "a"), ("c", "b"), ("d", "c"), ("e", "d"), ("x", "y")],
         "id_a string, id_b string",
     )
     got = {
         r["image_id"]: r["cluster_id"]
-        for r in comp.connected_components(edges).collect()
+        for r in comp.connected_components(
+            edges, driver_threshold=driver_threshold
+        ).collect()
     }
     assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "a",
                    "x": "x", "y": "x"}

@@ -1,0 +1,74 @@
+"""Plan-shape assertions: the scale-critical physical-plan properties
+(SURVEY.md §4) checked structurally, immune to this VM's timing noise."""
+
+from __future__ import annotations
+
+import pytest
+
+from mnemophonix_spark.plans import inspect as pi
+
+
+@pytest.fixture(scope="module")
+def pipeline_dfs(spark, corpus_dir):
+    from mnemophonix_spark import pipeline
+
+    return pipeline.run_dedup(spark, corpus_dir)
+
+
+def test_no_row_at_a_time_python_anywhere(pipeline_dfs):
+    for name in ("signatures", "candidates", "scored", "verified", "clusters"):
+        pi.assert_no_python_row_udf(pipeline_dfs[name])
+
+
+def test_pair_joins_are_broadcast(spark, corpus_dir):
+    """Rebuild the verified plan lazily (run_dedup persists, which hides
+    join nodes behind InMemoryScan) and assert join strategies."""
+    from mnemophonix_spark import pipeline
+    from mnemophonix_spark.operators import lsh, verify as ver
+    from mnemophonix_spark.operators.fingerprint import fingerprint, valid_signatures
+
+    corpus = pipeline.load_corpus(spark, corpus_dir)
+    valid = valid_signatures(fingerprint(corpus))
+    cand = lsh.candidate_pairs(lsh.explode_bands(valid))
+    verified = ver.verify_pairs(lsh.score_pairs(cand, valid), corpus)
+    pi.assert_broadcast_only_joins(verified)
+    facts = pi.plan_facts(verified)
+    assert facts.broadcast_joins >= 4  # 2 score joins + 2 phash + 2 payload
+
+
+def test_scan_column_pruning(spark, corpus_dir):
+    """The phash-gate scan must not read image bytes; the fingerprint
+    scan must not read w/h."""
+    from mnemophonix_spark import pipeline
+    from mnemophonix_spark.operators.fingerprint import fingerprint
+
+    # cached plans substitute InMemoryScan for the parquet scan and hide
+    # ReadSchema; pruning must be asserted on the uncached plan
+    spark.catalog.clearCache()
+    corpus = pipeline.load_corpus(spark, corpus_dir)
+    import re
+
+    facts = pi.plan_facts(fingerprint(corpus))
+    assert facts.read_schemas, "expected a parquet scan"
+    for schema in facts.read_schemas:
+        cols = set(re.findall(r"[<,](\w+):", schema))
+        assert "w" not in cols and "h" not in cols, schema
+
+    ph = corpus.select("image_id", "phash")
+    facts_ph = pi.plan_facts(ph)
+    assert all("bytes" not in s for s in facts_ph.read_schemas)
+
+
+def test_whole_stage_codegen_on_relational(spark):
+    from mnemophonix_spark.operators import relational
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    df = relational.pricing_summary(li)
+    df.collect()  # AQE: codegen nodes only appear in the final plan
+    facts = pi.plan_facts(df)
+    assert facts.whole_stage_codegen >= 1
+    assert facts.batch_eval_python == 0
+    # partial+final aggregation (map-side combine) and filter pushdown
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan
+    assert "DataFilters: [isnotnull(l_shipdate" in plan

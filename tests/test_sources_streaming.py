@@ -1,0 +1,114 @@
+"""Signature text-format bridge, streaming search, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mnemophonix_spark.sources import signature_io as sio
+
+
+def test_text_roundtrip(spark, tmp_path, stages_signatures):
+    path = str(tmp_path / "db.txt")
+    n = sio.export_text(stages_signatures, path)
+    assert n > 0
+    entries = sio.parse_text(path)
+    assert len(entries) == n
+    assert all(len(s) == 100 for e in entries for s in e.signatures)
+    df = sio.import_text(spark, path)
+    orig = {
+        r["image_id"]: bytes(r["minhash"])
+        for r in stages_signatures.filter("minhash is not null").collect()
+    }
+    got = {r["image_id"]: bytes(r["minhash"]) for r in df.collect()}
+    assert got == orig
+
+
+@pytest.fixture(scope="module")
+def stages_signatures(spark, corpus_dir):
+    from mnemophonix_spark.operators.fingerprint import fingerprint
+
+    return fingerprint(spark.read.parquet(f"{corpus_dir}/corpus")).persist()
+
+
+def test_text_strict_format_rejected(tmp_path):
+    bad = tmp_path / "bad.txt"
+    bad.write_text("name\nartist\ntitle\nalbum\n1\n" + "zz" * 99 + "\n")
+    with pytest.raises(sio.SignatureFormatError):
+        sio.parse_text(str(bad))
+    short = tmp_path / "short.txt"
+    short.write_text("name\nartist\ntitle\nalbum\n1\n" + "ab" * 99 + "\n")  # 198 chars
+    with pytest.raises(sio.SignatureFormatError):
+        sio.parse_text(str(short))
+
+
+def test_stream_search_available_now(spark, corpus_dir, tmp_path):
+    """File-source streaming corpus -> foreachBatch search against a
+    static index; planted dups must surface as matches."""
+    from mnemophonix_spark.operators.fingerprint import fingerprint, valid_signatures
+    from mnemophonix_spark.streaming import stream_search as ss
+
+    corpus = spark.read.parquet(f"{corpus_dir}/corpus")
+    index = valid_signatures(fingerprint(corpus)).persist()
+    index.count()
+
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(f"{corpus_dir}/corpus")
+    )
+    q = ss.stream_search(
+        spark, stream, index, checkpoint_dir=str(tmp_path / "ckpt"),
+        output_table="stream_matches_test",
+    )
+    q.awaitTermination(120)
+    out = spark.table("stream_matches_test")
+    got = {(r["query_id"], r["match_id"]) for r in out.collect()}
+    # every oracle scored pair must appear (in both orientations the
+    # stream sees them as query rows)
+    import pyarrow.parquet as pq
+
+    tp = pq.read_table(f"{corpus_dir}/truth_pairs.parquet").to_pylist()
+    truth = {(r["id_a"], r["id_b"]) for r in tp if r["kind"] in (1, 2, 3)}
+    found_either = {(a, b) for a, b in got} | {(b, a) for a, b in got}
+    assert truth <= found_either
+    spark.sql("DROP TABLE IF EXISTS stream_matches_test")
+
+
+def test_video_frame_signatures(spark):
+    from mnemophonix_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(5)
+    frames = rng.uniform(0, 255, size=(6, 48, 64))
+    good = mm.encode_fake_video(frames)
+    df = spark.createDataFrame(
+        [("vid0", bytearray(good)), ("bad0", bytearray(b"mp4 is not here"))],
+        "media_id string, bytes binary",
+    )
+    out = mm.video_frame_signatures(df, every_nth=2).collect()
+    rows = {(r["media_id"], r["frame_idx"]): r for r in out}
+    assert {(m, i) for m, i in rows if m == "vid0"} == {
+        ("vid0", 0), ("vid0", 2), ("vid0", 4)
+    }
+    assert rows[("bad0", -1)]["decode_error"] is not None
+    assert all(
+        len(bytes(r["minhash"])) == 100 for r in out if r["media_id"] == "vid0"
+    )
+    # per-frame signatures equal the single-image chain on that frame
+    from mnemophonix_spark.functions import kernels
+
+    decoded = mm.decode_fake_video(good)  # u8 quantization applied
+    sig = kernels.grid_to_signature(
+        np.stack([kernels.luma_to_grid(decoded[0])])
+    )
+    assert bytes(rows[("vid0", 0)]["minhash"]) == sig["minhash"][0].tobytes()
+
+
+def test_fake_pcm_roundtrip_and_unsupported():
+    from mnemophonix_spark.operators import multimodal as mm
+
+    samples = np.sin(np.linspace(0, 20, 1000)).astype(np.float32)
+    out, rate = mm.decode_fake_pcm(mm.encode_fake_pcm(samples, 5512))
+    assert rate == 5512 and np.allclose(out, samples)
+    with pytest.raises(mm.UnsupportedModality):
+        mm.decode_fake_pcm(b"RIFF....WAVE")
