@@ -154,6 +154,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_img_clusters(spark, sf):
         return _image_stages(spark, sf)["clusters"]
 
+    def q_caption_pairs(spark, sf):
+        from mnemophonix_spark.operators import captions
+
+        return captions.caption_pairs(_image_corpus(spark, sf)).distinct()
+
     def q_img_bands(spark, sf):
         from mnemophonix_spark.operators import lsh
         from mnemophonix_spark.operators.fingerprint import (
@@ -185,6 +190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_verified_pairs": q_img_verified_pairs,
         "img_clusters": q_img_clusters,
         "img_bands": q_img_bands,
+        "caption_pairs": q_caption_pairs,
     }
 
 
@@ -469,5 +475,6 @@ def oracle_sql() -> dict[str, str]:
         "img_scored_pairs": f"SELECT id_a, id_b, n_shared_bands, score FROM read_parquet('{img300}/scored_pairs.parquet')",
         "img_verified_pairs": f"SELECT id_a, id_b FROM read_parquet('{img300}/verified_pairs.parquet')",
         "img_clusters": f"SELECT image_id, cluster_id FROM read_parquet('{img300}/clusters.parquet')",
+        "caption_pairs": f"SELECT id_a, id_b, via FROM read_parquet('{img300}/caption_pairs.parquet')",
         # img_bands, emb_lsh_ann_topk: rows-only (no SQL twin)
     }

@@ -283,6 +283,10 @@ def _write_chunk(args: tuple) -> tuple[list, list]:
     Duplicate clusters are planted within chunks only.
     """
     out_dir, chunk_id, chunk_rows, seed = args
+    # pin BLAS threads: 32 workers each spawning an OpenBLAS pool melt
+    # the box (load ~200 observed); resize matmuls are tiny anyway
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     rng_seed = np.random.default_rng([seed, chunk_id])
     c = generate(chunk_rows, seed=int(rng_seed.integers(0, 2**31)),
                  id_offset=chunk_id * chunk_rows)

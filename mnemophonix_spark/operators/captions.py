@@ -146,7 +146,13 @@ def caption_substring_pairs(corpus: DataFrame, k: int = 5) -> DataFrame:
         .filter(
             (F.col("id_s") != F.col("id_l"))
             & (F.length("cap_s") < F.length("cap_l"))
-            & F.col("cap_l").contains(F.col("cap_s"))
+            # word-aligned containment (space padding): a raw string
+            # `contains` would also match mid-word ("one two" inside
+            # "xxxone two"), which the word-shingle blocking can never
+            # surface — the gate must match the blocking's semantics
+            & F.concat(F.lit(" "), F.col("cap_l"), F.lit(" ")).contains(
+                F.concat(F.lit(" "), F.col("cap_s"), F.lit(" "))
+            )
         )
         .select(
             F.least("id_s", "id_l").alias("id_a"),

@@ -139,17 +139,36 @@ def test_bands_explode_jvm_side(stages, spark):
     assert bands.count() == 25 * n_sigs
 
 
-def test_hot_bucket_cap_drops_pathological_bucket(spark):
-    """Near-constant images concentrate on one band key; the cap must
-    bound the candidate blowup and the dropped bucket must be observable."""
+def test_hot_bucket_drop_mode(spark):
+    """hot_mode='drop': the pathological bucket is skipped entirely and
+    remains observable via hot_buckets."""
     from mnemophonix_spark.operators import lsh
 
     rows = [(f"id{i}", 0, 12345) for i in range(40)] + [("a", 1, 7), ("b", 1, 7)]
     bands = spark.createDataFrame(
         rows, "image_id string, band_id int, band_hash long"
     ).select("band_id", "band_hash", "image_id")
-    cand = lsh.candidate_pairs(bands, cap=10, min_band_matches=1)
+    cand = lsh.candidate_pairs(bands, cap=10, min_band_matches=1, hot_mode="drop")
     got = {(r["id_a"], r["id_b"]) for r in cand.collect()}
-    assert got == {("a", "b")}  # hot bucket dropped entirely
+    assert got == {("a", "b")}
     hot = lsh.hot_buckets(bands, cap=10).collect()
     assert len(hot) == 1 and hot[0]["bucket_size"] == 40
+
+
+def test_hot_bucket_salt_mode_bounds_blowup(spark):
+    """hot_mode='salt' (default): a 40-member bucket with cap 10 splits
+    into 4 salt groups — pair count collapses from C(40,2)=780 to about
+    4*C(10,2), and every within-group pair is genuine bucket co-membership."""
+    from mnemophonix_spark.operators import lsh
+
+    rows = [(f"id{i:02d}", 0, 12345) for i in range(40)] + [("a", 1, 7), ("b", 1, 7)]
+    bands = spark.createDataFrame(
+        rows, "image_id string, band_id int, band_hash long"
+    ).select("band_id", "band_hash", "image_id")
+    cand = lsh.candidate_pairs(bands, cap=10, min_band_matches=1)
+    got = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert ("a", "b") in got
+    hot_pairs = {p for p in got if p != ("a", "b")}
+    assert 0 < len(hot_pairs) < 400  # bounded far below C(40,2)=780
+    members = {f"id{i:02d}" for i in range(40)}
+    assert all(x in members and y in members for x, y in hot_pairs)

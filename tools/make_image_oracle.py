@@ -79,7 +79,67 @@ def build(n_rows: int) -> str:
         ),
         os.path.join(out_dir, "clusters.parquet"),
     )
+
+    cap_pairs = caption_oracle(
+        [(r["image_id"], r["caption"]) for r in rows]
+    )
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"id_a": a, "id_b": b, "via": v} for a, b, v in sorted(cap_pairs)],
+            schema=pa.schema(
+                [("id_a", pa.string()), ("id_b", pa.string()), ("via", pa.string())]
+            ),
+        ),
+        os.path.join(out_dir, "caption_pairs.parquet"),
+    )
     return out_dir
+
+
+def caption_oracle(rows: list[tuple[str, str]]) -> set[tuple[str, str, str]]:
+    """Independent brute-force caption channel (exact / simhash / substring).
+
+    Mirrors operators/captions.py semantics exactly:
+    - normalization: lower + whitespace collapse + trim
+    - simhash: 64 bits from md5 of each word, sign of the +-1 sums;
+      pairs at hamming <= 3 (the 4x16 banding is lossless for radius 3)
+    - substring: word-aligned strict containment, shorter inside longer
+    """
+    import hashlib
+    import re as _re
+
+    norm = {}
+    for image_id, cap in rows:
+        c = _re.sub(r"\s+", " ", (cap or "").strip().lower())
+        if c:
+            norm[image_id] = c
+
+    out: set[tuple[str, str, str]] = set()
+    ids = sorted(norm)
+
+    def simhash(cap: str) -> str:
+        s = [0] * 64
+        for w in cap.split(" "):
+            hexs = hashlib.md5(w.encode()).hexdigest()
+            for b in range(64):
+                nib = int(hexs[b // 4], 16)
+                bit = (nib >> (3 - b % 4)) & 1
+                s[b] += 2 * bit - 1
+        return "".join("1" if v > 0 else "0" for v in s)
+
+    sh = {i: simhash(norm[i]) for i in ids}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            if norm[a] == norm[b]:
+                out.add((a, b, "exact"))
+            ham = sum(1 for p, q in zip(sh[a], sh[b]) if p != q)
+            if ham <= 3:
+                out.add((a, b, "simhash"))
+            for s_id, l_id in ((a, b), (b, a)):
+                cs, cl = norm[s_id], norm[l_id]
+                if len(cs) < len(cl) and f" {cs} " in f" {cl} ":
+                    out.add((min(a, b), max(a, b), "substring"))
+    return out
 
 
 if __name__ == "__main__":
