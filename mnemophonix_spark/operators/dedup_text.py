@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mnemophonix_spark import config as C
+
 DOC_ID = "doc_id"
 TEXT = "text"
 
@@ -42,17 +44,24 @@ def _words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def shingles(df: DataFrame, id_col: str = DOC_ID, text_col: str = TEXT,
              k: int = 3) -> DataFrame:
-    """Distinct k-word shingles per document via window lead()."""
-    from pyspark.sql import Window
+    """Distinct k-word shingles per document.
 
-    w = Window.partitionBy("id").orderBy("pos")
-    words = _words(df, id_col, text_col)
-    cols = [F.col("word")] + [F.lead("word", i).over(w) for i in range(1, k)]
+    Built with array expressions (split -> slice -> explode), which is
+    shuffle-free until the final distinct — a window-lead formulation
+    would shuffle the exploded word table first.  Semantically equal to
+    the SQL twin's lead() form (same shingle sets).
+    """
+    w = F.split(F.lower(F.col(text_col)), r"\s+")
+    n_sh = F.size(w) - (k - 1)
+    sh = F.when(
+        n_sh >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
-        words.select("id", F.concat_ws(" ", *cols).alias("shingle"),
-                     *[F.lead("word", i).over(w).alias(f"_w{i}") for i in range(1, k)])
-        .filter(F.col(f"_w{k-1}").isNotNull())
-        .select("id", "shingle")
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
         .distinct()
     )
 
@@ -110,10 +119,26 @@ def minhash_band_pairs(df: DataFrame, id_col: str = DOC_ID, text_col: str = TEXT
         .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list(
             F.concat_ws(":", "perm_id", "minhash"))))).alias("band_hash"))
     )
-    a = bands.select(F.col("id").alias("id_a"), "band_id", "band_hash")
-    b = bands.select(F.col("id").alias("id_b"), "band_id", "band_hash")
+    # hot-band salting (boilerplate captions / template docs put many
+    # ids on one band key; the raw self-join would square that).  Same
+    # recipe as the image side (lsh.candidate_pairs): salt into
+    # ceil(size/cap) groups, pair within groups.  Inactive (salt=0)
+    # below the cap, so small-scale results — and the SQL twin — are
+    # unchanged.
+    cap = C.MAX_BUCKET_SIZE
+    sizes = bands.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("bucket_size")
+    )
+    salted = bands.join(sizes, ["band_id", "band_hash"]).withColumn(
+        "salt",
+        F.when(F.col("bucket_size") <= cap, F.lit(0)).otherwise(
+            F.pmod(F.xxhash64(F.col("id").cast("string")), F.ceil(F.col("bucket_size") / cap))
+        ),
+    )
+    a = salted.select(F.col("id").alias("id_a"), "band_id", "band_hash", "salt")
+    b = salted.select(F.col("id").alias("id_b"), "band_id", "band_hash", "salt")
     return (
-        a.join(b, ["band_id", "band_hash"])
+        a.join(b, ["band_id", "band_hash", "salt"])
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_shared_bands"))
@@ -122,18 +147,31 @@ def minhash_band_pairs(df: DataFrame, id_col: str = DOC_ID, text_col: str = TEXT
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = DOC_ID, text_col: str = TEXT,
-                        k: int = 3, min_jaccard: float = 0.4) -> DataFrame:
+                        k: int = 3, min_jaccard: float = 0.4,
+                        max_shingle_df: int = 100_000) -> DataFrame:
     """Exact k-shingle Jaccard for all pairs sharing >=1 shingle.
 
     Output: (id_a, id_b, n_common, jaccard rounded to 6dp).  The
     shared-shingle join prunes the quadratic pair space to pairs with
     nonzero intersection — the exact-verification twin of the banded
     candidates at small k.
+
+    ``max_shingle_df``: stop-shingles (document frequency above the
+    cap, e.g. boilerplate) are excluded from the JOIN side only — they
+    still count in per-doc sizes, so a pair whose entire overlap is
+    boilerplate drops out rather than exploding the join.  At web scale
+    this bounds the join fan-out per shingle; at test scale (doc count
+    << cap) it is inert, keeping the SQL twin exact.
     """
     sh = shingles(df, id_col, text_col, k)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    sh_df = sh.groupBy("shingle").agg(F.count("*").alias("df_count"))
+    joinable = sh.join(
+        sh_df.filter(F.col("df_count") <= max_shingle_df).select("shingle"),
+        "shingle",
+    )
+    a = joinable.select(F.col("id").alias("id_a"), "shingle")
+    b = joinable.select(F.col("id").alias("id_b"), "shingle")
     common = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -137,3 +137,12 @@ def valid_signatures(signatures: DataFrame) -> DataFrame:
         & ~F.col("is_silence")
         & ~F.col("degenerate")
     )
+
+
+def quarantined(signatures: DataFrame) -> DataFrame:
+    """The quarantine sink view: undecodable rows with their reason
+    (wav.c:136-139 analog — the reference aborts the file, a 10^12-row
+    job routes and reports instead)."""
+    return signatures.filter(F.col("decode_error").isNotNull()).select(
+        "image_id", "decode_error"
+    )
