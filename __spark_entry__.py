@@ -121,6 +121,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_doc_fingerprint(spark, sf):
         return textstats.doc_fingerprint(_read(spark, sf, "documents"))
 
+    def q_doc_bpe_tokens(spark, sf):
+        return textstats.bpe_ish_tokens(_read(spark, sf, "documents"))
+
+    def q_doc_winnow(spark, sf):
+        return textstats.winnow_fingerprints(_read(spark, sf, "documents"))
+
+    def q_emb_dup_pairs(spark, sf):
+        # threshold tuned to the synthetic embeddings' cosine spread
+        # (p99 ~= 0.29, max ~= 0.51): 0.35 yields a non-trivial pair set
+        return similarity.embedding_dup_pairs(
+            _read(spark, sf, "embeddings"), min_cos=0.35
+        )
+
     def q_ann_topk(spark, sf):
         emb = _read(spark, sf, "embeddings")
         return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 8))
@@ -182,6 +195,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_score": q_doc_quality,
         "doc_lang_id": q_doc_lang,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
+        "doc_winnow_fingerprints": q_doc_winnow,
+        "embedding_dup_pairs": q_emb_dup_pairs,
         "ann_cosine_topk": q_ann_topk,
         "emb_lsh_buckets": q_emb_lsh,
         "emb_lsh_ann_topk": q_emb_lsh_ann,
@@ -234,6 +250,24 @@ led AS (
 ),
 shingles AS (
   SELECT DISTINCT id,
+         word || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4 AS shingle
+  FROM led WHERE w4 IS NOT NULL
+)
+"""
+
+# 5-word shingles WITH positions, non-distinct (winnowing needs the
+# ordered hash sequence, duplicates included)
+_SHINGLES5POS_CTE = _WORDS_CTE + """,
+led AS (
+  SELECT id, pos, word,
+         lead(word, 1) OVER (PARTITION BY id ORDER BY pos) AS w1,
+         lead(word, 2) OVER (PARTITION BY id ORDER BY pos) AS w2,
+         lead(word, 3) OVER (PARTITION BY id ORDER BY pos) AS w3,
+         lead(word, 4) OVER (PARTITION BY id ORDER BY pos) AS w4
+  FROM words
+),
+shingles AS (
+  SELECT id, pos,
          word || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4 AS shingle
   FROM led WHERE w4 IS NOT NULL
 )
@@ -421,6 +455,43 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": f"""
             WITH {_SHINGLES5_CTE}
             SELECT id, min(md5(shingle)) AS fingerprint FROM shingles GROUP BY id
+        """,
+        "doc_bpe_tokens": """
+            SELECT doc_id AS id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                     AS n_bpe_tokens
+            FROM documents
+        """,
+        "doc_winnow_fingerprints": f"""
+            WITH {_SHINGLES5POS_CTE},
+            hashed AS (
+              SELECT id, pos, md5(shingle) AS h FROM shingles
+            ),
+            wmins AS (
+              SELECT id, pos, h,
+                     min(h) OVER (PARTITION BY id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                       AS wmin
+              FROM hashed
+            )
+            SELECT DISTINCT id, h AS fp FROM wmins WHERE h = wmin
+        """,
+        "embedding_dup_pairs": """
+            WITH elems AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     unnest(a.embedding) AS xa, unnest(b.embedding) AS xb
+              FROM embeddings a CROSS JOIN embeddings b
+              WHERE a.vec_id < b.vec_id
+            ),
+            s AS (
+              SELECT id_a, id_b,
+                     sum(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)) AS dot,
+                     sqrt(sum(CAST(xa AS DOUBLE) * CAST(xa AS DOUBLE))) AS na,
+                     sqrt(sum(CAST(xb AS DOUBLE) * CAST(xb AS DOUBLE))) AS nb
+              FROM elems GROUP BY id_a, id_b
+            )
+            SELECT id_a, id_b, round(dot / (na * nb), 6) AS cos_sim
+            FROM s WHERE round(dot / (na * nb), 6) >= 0.35
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv

@@ -17,8 +17,10 @@ from pyspark.sql.window import Window
 
 
 def _dot(a, b):
+    # element-wise double math: float32*float32 would accumulate enough
+    # error to flip round(x, 6) against a double-math SQL oracle
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -26,7 +28,11 @@ def _dot(a, b):
 
 def _norm(a):
     return F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
     )
 
 
@@ -73,6 +79,38 @@ def cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def embedding_dup_pairs(
+    embeddings: DataFrame,
+    min_cos: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline).
+
+    Output: (id_a, id_b, cos_sim rounded 6dp) with id_a < id_b and
+    cos >= min_cos.  O(n^2) by construction — the exact baseline for
+    the LSH-bucketed scale path (``lsh_ann_topk`` restricted to
+    bucket-mates); at corpus scale run the bucketed variant and use
+    this only to audit its recall on a sample.
+    """
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= min_cos)
     )
 
 

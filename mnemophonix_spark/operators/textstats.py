@@ -101,6 +101,64 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     )
 
 
+def bpe_ish_tokens(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """BPE-ish token counting: alpha runs, digit runs, and single
+    punctuation marks each count as one token (the pre-tokenization
+    regex most BPE vocabularies apply).  (id, n_bpe_tokens)."""
+    pattern = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 5,
+                        window: int = 4) -> DataFrame:
+    """Winnowing-style document fingerprints (after Schleimer/
+    Wilkerson/Aiken's MOSS scheme): hash every k-word shingle and keep
+    each position whose hash is the minimum of the forward window of
+    ``window`` consecutive hashes.
+
+    Selection is purely local (depends only on h[p..p+window-1]), so
+    two documents sharing a word run long enough to cover a selected
+    window select the same fingerprint — the blocking property that
+    makes winnowed fps a near-dup key.  The hash is md5 (cross-engine
+    determinism) instead of a literal polynomial rolling hash; the
+    canonical rightmost-min-per-window rule is swapped for the simpler
+    forward-window-min (documented deviation; same flavor, exact SQL
+    twin).  Output: (id, fp) distinct.
+    """
+    from pyspark.sql.window import Window
+
+    w = F.split(F.lower(F.col(text_col)), r"\s+")
+    n_sh = F.size(w) - (k - 1)
+    sh = F.when(
+        n_sh >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashed = df.select(
+        F.col(id_col).alias("id"), F.posexplode(sh).alias("pos", "shingle")
+    ).select("id", "pos", F.md5("shingle").alias("h"))
+    win = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(0, window - 1)
+    )
+    return (
+        hashed.withColumn("wmin", F.min("h").over(win))
+        .filter(F.col("h") == F.col("wmin"))
+        .select("id", F.col("h").alias("fp"))
+        .distinct()
+    )
+
+
 def doc_fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                     k: int = 5) -> DataFrame:
     """Content fingerprint: min md5 over k-word shingles (winnowing-lite).
