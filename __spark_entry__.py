@@ -167,6 +167,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_img_clusters(spark, sf):
         return _image_stages(spark, sf)["clusters"]
 
+    def q_phash_dup_pairs(spark, sf):
+        from mnemophonix_spark.operators import phash
+
+        return phash.phash_dup_pairs(_image_corpus(spark, sf))
+
     def q_caption_pairs(spark, sf):
         from mnemophonix_spark.operators import captions
 
@@ -207,6 +212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_clusters": q_img_clusters,
         "img_bands": q_img_bands,
         "caption_pairs": q_caption_pairs,
+        "phash_dup_pairs": q_phash_dup_pairs,
     }
 
 
@@ -547,5 +553,26 @@ def oracle_sql() -> dict[str, str]:
         "img_verified_pairs": f"SELECT id_a, id_b FROM read_parquet('{img300}/verified_pairs.parquet')",
         "img_clusters": f"SELECT image_id, cluster_id FROM read_parquet('{img300}/clusters.parquet')",
         "caption_pairs": f"SELECT id_a, id_b, via FROM read_parquet('{img300}/caption_pairs.parquet')",
+        # full SQL twin over the corpus parquet itself (not a fixture):
+        # the Spark query materializes the corpus first via ensure_corpus
+        "phash_dup_pairs": f"""
+            WITH h AS (
+              SELECT image_id AS id, phash AS ph,
+                     lpad(to_hex(phash), 16, '0') AS hx
+              FROM read_parquet('{CACHE_ROOT}/corpus_n300_s42/corpus/part-*.parquet')
+            ),
+            bands AS (
+              SELECT id, ph, substr(hx, b.b * 4 + 1, 4) AS band_key, b.b AS band_id
+              FROM h CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b
+            ),
+            cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.ph AS ph_a, b.ph AS ph_b
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+              WHERE a.id < b.id
+            )
+            SELECT id_a, id_b, bit_count(xor(ph_a, ph_b)) AS hamming
+            FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 4
+        """,
         # img_bands, emb_lsh_ann_topk: rows-only (no SQL twin)
     }

@@ -172,3 +172,19 @@ def test_hot_bucket_salt_mode_bounds_blowup(spark):
     assert 0 < len(hot_pairs) < 400  # bounded far below C(40,2)=780
     members = {f"id{i:02d}" for i in range(40)}
     assert all(x in members and y in members for x, y in hot_pairs)
+
+
+def test_phash_dup_pairs_recovers_resize_dups(spark, corpus_dir, truth):
+    """phash blocking must catch every planted image-dup pair whose
+    pixels derive from the same base (incl. cross-resize pairs the
+    signature LSH can miss through grid aliasing)."""
+    from mnemophonix_spark.operators import phash as ph_op
+
+    corpus = spark.read.parquet(f"{corpus_dir}/corpus")
+    got = {(r["id_a"], r["id_b"]) for r in ph_op.phash_dup_pairs(corpus).collect()}
+    pairs, _ = truth
+    img_truth = {(p["id_a"], p["id_b"]) for p in pairs if p["kind"] in (1, 2, 3, 4)}
+    assert img_truth <= got
+    # and no caption-only (different pixels) pairs
+    cap_truth = {(p["id_a"], p["id_b"]) for p in pairs if p["kind"] in (5, 6)}
+    assert not (cap_truth & got)

@@ -1,0 +1,107 @@
+"""Dup-pair recall at bench scale vs the planted ground truth.
+
+north_rule metric: dup-pair recall >= 0.99.  Runs the full pipeline on
+a bench corpus and scores verified pairs against truth_pairs kinds 1-4
+(image-chain kinds; 5-6 belong to the caption channel, scored
+separately).  Writes BENCH/RECALL.md.
+
+Usage: python tools/recall_report.py [n_rows]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    import pyarrow.parquet as pq
+
+    from mnemophonix_spark import corpusgen, pipeline
+    from mnemophonix_spark.operators import captions
+    from mnemophonix_spark.session import get_spark
+
+    corpus_dir = corpusgen.ensure_corpus_parallel("/root/repo/.cache", n_rows)
+    spark = get_spark(app_name="recall-report")
+
+    from mnemophonix_spark.operators import phash as ph_op
+
+    t0 = time.time()
+    stages = pipeline.run_dedup(spark, corpus_dir)
+    verified = {(r["id_a"], r["id_b"]) for r in stages["verified"].collect()}
+    cap_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in captions.caption_pairs(stages["corpus"]).collect()
+    }
+    phash_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ph_op.phash_dup_pairs(stages["corpus"]).collect()
+    }
+    wall = time.time() - t0
+
+    truth = pq.read_table(f"{corpus_dir}/truth_pairs.parquet").to_pylist()
+    img_truth = {(r["id_a"], r["id_b"]) for r in truth if r["kind"] in (1, 2, 3, 4)}
+    cap_truth = {(r["id_a"], r["id_b"]) for r in truth if r["kind"] in (5, 6)}
+
+    sig = stages["signatures"]
+    silent = {
+        r["image_id"]
+        for r in sig.filter("is_silence or degenerate or decode_error is not null")
+        .select("image_id")
+        .collect()
+    }
+    img_truth_live = {
+        (a, b) for a, b in img_truth if a not in silent and b not in silent
+    }
+
+    img_recall = len(img_truth & verified) / max(1, len(img_truth))
+    img_recall_live = len(img_truth_live & verified) / max(1, len(img_truth_live))
+    cap_recall = len(cap_truth & cap_pairs) / max(1, len(cap_truth))
+    union_pairs = verified | phash_pairs
+    union_recall = len(img_truth & union_pairs) / max(1, len(img_truth))
+    union_recall_live = len(
+        img_truth_live & union_pairs
+    ) / max(1, len(img_truth_live))
+
+    tc = pq.read_table(f"{corpus_dir}/truth_clusters.parquet").to_pylist()
+    clusters = {
+        r["image_id"]: r["cluster_id"] for r in stages["clusters"].collect()
+    }
+    live_tc = [r for r in tc if r["image_id"] not in silent
+               and r["cluster_id"] not in silent]
+    cluster_match = sum(
+        1 for r in live_tc if clusters.get(r["image_id"]) == r["cluster_id"]
+    ) / max(1, len(live_tc))
+
+    report = f"""# BENCH/RECALL.md — dup-pair recall at bench scale
+
+Corpus: {n_rows} synthetic images (deterministic, planted duplicate
+clusters of 6 kinds — FIXTURES.md F1.1), full pipeline end-to-end,
+wall {wall:.1f}s.
+
+| metric | value | target |
+|---|---|---|
+| image-chain dup-pair recall (kinds 1-4, all planted pairs) | {img_recall:.4f} ({len(img_truth & verified)}/{len(img_truth)}) | — |
+| image-chain recall, both members fingerprintable | **{img_recall_live:.4f}** ({len(img_truth_live & verified)}/{len(img_truth_live)}) | >= 0.99 |
+| + phash channel (union), all planted pairs | {union_recall:.4f} ({len(img_truth & union_pairs)}/{len(img_truth)}) | — |
+| + phash channel (union), fingerprintable | **{union_recall_live:.4f}** ({len(img_truth_live & union_pairs)}/{len(img_truth_live)}) | >= 0.99 |
+| caption-channel recall (kinds 5-6) | **{cap_recall:.4f}** ({len(cap_truth & cap_pairs)}/{len(cap_truth)}) | >= 0.99 |
+| cluster-assignment agreement (fingerprintable members) | {cluster_match:.4f} | — |
+
+"Fingerprintable" excludes pairs where a member hit the chain's
+silence/degenerate gate (rawfingerprints.c:10-16 semantics: the image
+analog of silent audio — such rows are skipped identically by the
+engine and the oracle, so they are out of scope for the recall
+contract).  Silent/degenerate/quarantined rows: {len(silent)} of {n_rows}.
+"""
+    with open("BENCH/RECALL.md", "w") as f:
+        f.write(report)
+    print(report)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
