@@ -94,6 +94,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_sessionize(spark, sf):
         return relational.user_sessionize(_read(spark, sf, "events"))
 
+    def q_regional_revenue(spark, sf):
+        return relational.regional_revenue(
+            _read(spark, sf, "region"),
+            _read(spark, sf, "nation"),
+            _read(spark, sf, "customer"),
+            _read(spark, sf, "orders"),
+            _read(spark, sf, "lineitem"),
+        )
+
+    def q_customers_no_orders(spark, sf):
+        return relational.customers_without_orders(
+            _read(spark, sf, "customer"), _read(spark, sf, "orders")
+        )
+
+    def q_suppliers_returns(spark, sf):
+        return relational.suppliers_with_returns(
+            _read(spark, sf, "supplier"), _read(spark, sf, "lineitem")
+        )
+
+    def q_sales_rollup(spark, sf):
+        return relational.sales_rollup(
+            _read(spark, sf, "lineitem"), _read(spark, sf, "orders")
+        )
+
+    def q_events_asof(spark, sf):
+        return relational.asof_join_events(_read(spark, sf, "events"))
+
     def q_doc_exact(spark, sf):
         return dedup_text.exact_dedup(_read(spark, sf, "documents"))
 
@@ -191,6 +218,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_customers": q_top_customers,
         "events_hourly_rollup": q_events_rollup,
         "user_sessionize": q_sessionize,
+        "regional_revenue": q_regional_revenue,
+        "customers_without_orders": q_customers_no_orders,
+        "suppliers_with_returns": q_suppliers_returns,
+        "sales_rollup": q_sales_rollup,
+        "events_asof_join": q_events_asof,
         "doc_exact_dedup": q_doc_exact,
         "doc_minhash_signatures": q_doc_minhash_sig,
         "doc_minhash_band_pairs": q_doc_band_pairs,
@@ -326,6 +358,47 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(value AS DECIMAL(20,4))) AS sum_value,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1, 2
+        """,
+        "regional_revenue": """
+            SELECT r_name, n_name,
+                   sum(CAST(CAST(l_extendedprice AS DECIMAL(20,4))
+                       * (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4)))
+                       AS DECIMAL(20,4))) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
+        """,
+        "suppliers_with_returns": """
+            SELECT s_suppkey, s_name, s_acctbal
+            FROM supplier
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_suppkey = s_suppkey AND l_returnflag = 'R')
+        """,
+        "sales_rollup": """
+            SELECT o_orderpriority, l_returnflag,
+                   GROUPING(o_orderpriority, l_returnflag) AS gid,
+                   sum(CAST(l_quantity AS DECIMAL(20,4))) AS sum_qty,
+                   count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY ROLLUP (o_orderpriority, l_returnflag)
+        """,
+        "events_asof_join": """
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.event_id AS asof_event_id, r.ts AS asof_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "user_sessionize": """
             WITH g AS (

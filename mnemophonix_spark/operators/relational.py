@@ -65,6 +65,150 @@ def events_hourly_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def regional_revenue(region: DataFrame, nation: DataFrame,
+                     customer: DataFrame, orders: DataFrame,
+                     lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q5 shape: five-way star join -> groupBy -> sort.
+
+    Scale note: region/nation/customer are dimension tables at any SF
+    (customer is ~1/40 of lineitem rows and a few % of its bytes), so
+    the dim chain is joined dim-to-dim first and broadcast into the
+    fact side — no shuffle of the 100 TB table for any dim join; the
+    final groupBy on (region, nation) exchanges only 25 partial rows
+    per task.  The one unavoidable shuffle is lineitem⋈orders
+    (fact-fact on orderkey); on a real warehouse both facts would be
+    bucketed by orderkey at write time, which turns it into a
+    zero-exchange sort-merge join.
+    """
+    dec = lambda c: F.col(c).cast("decimal(20,4)")  # noqa: E731
+    dims = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name", "n_name")
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(20,4)") - dec("l_discount")))
+                .cast("decimal(20,4)")
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame,
+                             priority: str = "1-URGENT") -> DataFrame:
+    """Left ANTI join (TPC-H Q22 shape): customers with no order of the
+    given priority.
+
+    The priority filter is pushed below the join, so Spark probes a
+    reduced orders set; planned as a broadcast/shuffled hash anti-join —
+    no row multiplication, safe at any skew.
+    """
+    urgent = orders.filter(F.col("o_orderpriority") == priority)
+    return (
+        customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def suppliers_with_returns(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Left SEMI join: suppliers that shipped at least one returned item.
+
+    The semi join deduplicates the fact side inside the join operator
+    (existence check), so no groupBy/distinct shuffle of lineitem is
+    needed before probing.
+    """
+    returned = lineitem.filter(F.col("l_returnflag") == "R")
+    return (
+        supplier.join(returned, supplier.s_suppkey == returned.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+def sales_rollup(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """ROLLUP grouping sets over (priority, returnflag): one pass emits
+    the detail rows, per-priority subtotals, and the grand total, with
+    grouping_id() disambiguating NULL-as-subtotal from data NULLs.
+    Spark expands grouping sets map-side before a single aggregation
+    shuffle — no N-pass re-scan of the fact table.
+    """
+    dec = lambda c: F.col(c).cast("decimal(20,4)")  # noqa: E731
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .rollup("o_orderpriority", "l_returnflag")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum(dec("l_quantity")).alias("sum_qty"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def asof_join_events(events: DataFrame,
+                     left_type: str = "purchase",
+                     right_type: str = "click") -> DataFrame:
+    """AS-OF join: each `left_type` event matched to the user's most
+    recent `right_type` event at-or-before it (reference has no such
+    operator; standard time-series primitive the engine needs).
+
+    Implemented with the union + last_value(ignore nulls) pattern
+    rather than an inequality join: tag right rows 0 / left rows 1,
+    union, then one window partitioned by user ordered by (ts, tag)
+    carries the latest right event forward onto each left row.  Cost is
+    a single hash shuffle on the join key + a per-key sort — linear at
+    100 TB, whereas a range self-join is quadratic in events-per-user
+    and an inequality join can't hash-partition at all.
+    """
+    left = (
+        events.filter(F.col("event_type") == left_type)
+        .select(
+            "user_id", "ts",
+            F.col("event_id").alias("l_event_id"),
+            F.lit(1).alias("is_left"),
+            F.lit(None).cast("long").alias("r_event_id"),
+            F.lit(None).cast("timestamp").alias("r_ts"),
+        )
+    )
+    right = (
+        events.filter(F.col("event_type") == right_type)
+        .select(
+            "user_id", "ts",
+            F.lit(None).cast("long").alias("l_event_id"),
+            F.lit(0).alias("is_left"),
+            F.col("event_id").alias("r_event_id"),
+            F.col("ts").alias("r_ts"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    # right rows sort before left rows at equal ts => ts_right <= ts_left
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_left", "r_event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        left.unionByName(right)
+        .withColumn("asof_event_id", F.last("r_event_id", ignorenulls=True).over(w))
+        .withColumn("asof_ts", F.last("r_ts", ignorenulls=True).over(w))
+    )
+    return (
+        carried.filter(F.col("is_left") == 1)
+        .select(
+            F.col("l_event_id").alias("event_id"),
+            "user_id",
+            "ts",
+            "asof_event_id",
+            "asof_ts",
+        )
+    )
+
+
 def user_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization via window functions: a new session
     starts when a user's inter-event gap exceeds ``gap_minutes``.
