@@ -62,10 +62,25 @@ def main() -> None:
     timings: dict[str, float] = {}
     spark = get_spark(app_name="mnemophonix-bench", master=f"local[{CPUS}]")
 
+    # steady-state methodology: one untimed warm-up lap per workload
+    # first (small corpus for the image job), so timings measure plan
+    # cost rather than one-shot JVM JIT compilation / Python-worker
+    # spawn — the state a long-running cluster job actually executes
+    # in.  Measured at sf0.1: the first md5-heavy doc query after a
+    # cold start runs 3-10x its steady-state time purely from C2
+    # warm-up.
+    warm_dir = _image_corpus_dir(2000)
+    run_image_pipeline(spark, warm_dir)
+    spark.catalog.clearCache()
+
     t0 = time.time()
     n_clusters = run_image_pipeline(spark, corpus_dir)
     timings["img_dedup_e2e"] = round(time.time() - t0, 3)
     images_per_sec = round(n_rows / timings["img_dedup_e2e"], 1)
+    # drop the image pipeline's persisted stages so the doc/embedding
+    # queries below are measured against a cold cache, not under the
+    # image job's storage-memory pressure
+    spark.catalog.clearCache()
 
     qs = entrymod.queries()
     for name in [
@@ -75,6 +90,7 @@ def main() -> None:
         "ann_cosine_topk",
         "pricing_summary",
     ]:
+        qs[name](spark, SF_DIR).count()  # warm-up lap, untimed
         t0 = time.time()
         n = qs[name](spark, SF_DIR).count()
         timings[name] = round(time.time() - t0, 3)

@@ -32,6 +32,22 @@ DOC_ID = "doc_id"
 TEXT = "text"
 
 
+def _fanout_rebalance(df: DataFrame) -> DataFrame:
+    """Spread rows across the cluster before a heavy per-row fan-out.
+
+    Shingling explodes ~n_words x n_perm rows per doc; if the scan has
+    fewer splits than cores (small files, or one coalesced split), all
+    of that CPU lands on a handful of tasks.  Repartitioning the
+    pre-explode rows is nearly free (docs are small), so rebalance
+    whenever the scan is narrower than the default parallelism.  At
+    real scale the scan has thousands of splits and this is a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, pos, word) — lowercase whitespace tokenization, 1-based pos."""
     return df.select(
@@ -61,7 +77,8 @@ def shingles(df: DataFrame, id_col: str = DOC_ID, text_col: str = TEXT,
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        _fanout_rebalance(df)
+        .select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
         .distinct()
     )
 
@@ -88,6 +105,15 @@ def minhash_signatures(df: DataFrame, id_col: str = DOC_ID, text_col: str = TEXT
     shingles.  Text analog of the image chain's frozen-permutation
     MinHash (minhash.c:13-28) with hash-salting replacing the stored
     permutation table (standard for unbounded shingle universes).
+
+    Plan note: this deliberately stays in explode -> groupBy form.  A
+    fully row-local nested-array-transform formulation (array_min over
+    transform(shingles, md5)) computes the same minima with zero
+    shuffles but runs ~4x slower end-to-end: Spark evaluates
+    higher-order-function lambdas interpreted, outside whole-stage
+    codegen, so 16 md5s per shingle dominate.  The exploded md5 +
+    partial-agg min is codegen'd, and map-side combine collapses the
+    shuffle to n_docs * n_perm rows.
     """
     sh = shingles(df, id_col, text_col, k)
     perms = F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("perm_id")
@@ -126,10 +152,15 @@ def minhash_band_pairs(df: DataFrame, id_col: str = DOC_ID, text_col: str = TEXT
     # below the cap, so small-scale results — and the SQL twin — are
     # unchanged.
     cap = C.MAX_BUCKET_SIZE
-    sizes = bands.groupBy("band_id", "band_hash").agg(
-        F.count("*").alias("bucket_size")
-    )
-    salted = bands.join(sizes, ["band_id", "band_hash"]).withColumn(
+    # bucket size via window, not a groupBy+self-join: the join form
+    # recomputes the whole shingle->minhash chain for the sizes side,
+    # doubling the expensive stage; the window shuffles the band table
+    # once on its own key and counts in place (buckets are small by
+    # construction, so the per-partition sort is cheap)
+    from pyspark.sql.window import Window
+
+    wsz = Window.partitionBy("band_id", "band_hash")
+    salted = bands.withColumn("bucket_size", F.count("*").over(wsz)).withColumn(
         "salt",
         F.when(F.col("bucket_size") <= cap, F.lit(0)).otherwise(
             F.pmod(F.xxhash64(F.col("id").cast("string")), F.ceil(F.col("bucket_size") / cap))

@@ -57,11 +57,16 @@ def run_dedup(
 
     def stage(name: str, build) -> DataFrame:
         if store is None:
-            # no checkpoint dir: persist stage outputs so downstream
-            # stages (and the iterative CC loop) never recompute the
-            # expensive upstream chain — `valid` alone is referenced
-            # twice by score_pairs and the corpus twice by verify
-            return build().persist()
+            # no checkpoint dir: persist AND materialize each stage in
+            # order.  `valid` is referenced twice by score_pairs and the
+            # corpus twice by verify; a lazy persist lets the parallel
+            # broadcast-exchange jobs of the downstream joins race to
+            # compute the same un-cached fingerprint chain several times
+            # over (~2x end-to-end wall time measured at 20k rows), so
+            # each stage is forced once before the next is built
+            df = build().persist()
+            df.count()
+            return df
         return store.run_stage(name, build, input_fingerprint=fp, log=log)
 
     signatures = stage("signatures", lambda: fingerprint(corpus))
