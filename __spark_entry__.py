@@ -625,6 +625,7 @@ def oracle_sql() -> dict[str, str]:
         "img_scored_pairs": f"SELECT id_a, id_b, n_shared_bands, score FROM read_parquet('{img300}/scored_pairs.parquet')",
         "img_verified_pairs": f"SELECT id_a, id_b FROM read_parquet('{img300}/verified_pairs.parquet')",
         "img_clusters": f"SELECT image_id, cluster_id FROM read_parquet('{img300}/clusters.parquet')",
+        "img_bands": f"SELECT band_id, band_hash, image_id FROM read_parquet('{img300}/bands.parquet')",
         "caption_pairs": f"SELECT id_a, id_b, via FROM read_parquet('{img300}/caption_pairs.parquet')",
         # full SQL twin over the corpus parquet itself (not a fixture):
         # the Spark query materializes the corpus first via ensure_corpus
@@ -647,5 +648,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, bit_count(xor(ph_a, ph_b)) AS hamming
             FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 4
         """,
-        # img_bands, emb_lsh_ann_topk: rows-only (no SQL twin)
+        # emb_lsh_ann_topk: rows-only (approximate top-k has no SQL twin)
     }

@@ -80,6 +80,26 @@ def build(n_rows: int) -> str:
         os.path.join(out_dir, "clusters.parquet"),
     )
 
+    # LSH band table for valid signatures: 25 rows per image, matching
+    # Spark's lsh.explode_bands output (band_id, band_hash, image_id)
+    valid = ~res.is_silence & ~res.degenerate
+    band_rows = [
+        {"band_id": b, "band_hash": int(res.bands[i][b]), "image_id": res.image_ids[i]}
+        for i in range(len(res.image_ids))
+        if valid[i]
+        for b in range(res.bands.shape[1])
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(
+            band_rows,
+            schema=pa.schema(
+                [("band_id", pa.int32()), ("band_hash", pa.int64()),
+                 ("image_id", pa.string())]
+            ),
+        ),
+        os.path.join(out_dir, "bands.parquet"),
+    )
+
     cap_pairs = caption_oracle(
         [(r["image_id"], r["caption"]) for r in rows]
     )
