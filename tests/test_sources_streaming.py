@@ -112,3 +112,86 @@ def test_fake_pcm_roundtrip_and_unsupported():
     assert rate == 5512 and np.allclose(out, samples)
     with pytest.raises(mm.UnsupportedModality):
         mm.decode_fake_pcm(b"RIFF....WAVE")
+
+
+def test_windowed_match_counts_watermark_semantics(spark, tmp_path):
+    """Event-time correctness of the sliding-rollup helper: a closed
+    window is emitted exactly once with the right count when the
+    watermark passes its end, a still-open window is withheld in
+    append mode, and behind-watermark state never lingers — the
+    state-cleanup behavior the reference's ring buffer lacks and a
+    production stream needs.  (Dropping late input outright is
+    best-effort per the Spark contract — this Spark emits a
+    behind-watermark row's window immediately instead of retaining
+    state for it — so the test pins emission/holdback, not the drop.)"""
+    import datetime
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mnemophonix_spark.streaming.stream_search import windowed_match_counts
+
+    src = tmp_path / "events"
+    src.mkdir()
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def write(name, rows, mtime):
+        tbl = pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [("event_time", pa.timestamp("us")), ("match_id", pa.string())]
+            ),
+        )
+        p = str(src / name)
+        pq.write_table(tbl, p)
+        os.utime(p, (mtime, mtime))
+
+    # batch 1: six on-time events in [10:00:00, 10:00:06)
+    write(
+        "b1.parquet",
+        [{"event_time": base + datetime.timedelta(seconds=s), "match_id": "m1"}
+         for s in range(6)],
+        _time.time() - 100,
+    )
+    # batch 2: a far-future event (advances the watermark past batch 1's
+    # window) plus one event far BEHIND the watermark (must be dropped)
+    write(
+        "b2.parquet",
+        [
+            {"event_time": base + datetime.timedelta(minutes=5), "match_id": "m2"},
+            {"event_time": base - datetime.timedelta(hours=1), "match_id": "late"},
+        ],
+        _time.time() - 50,
+    )
+
+    stream = (
+        spark.readStream.schema("event_time timestamp, match_id string")
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch, mtime order
+        .parquet(str(src))
+    )
+    counts = windowed_match_counts(stream, window="10 seconds", slide="10 seconds")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("wmc")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["window"]["start"], r["match_id"]): r["n_matches"]
+        for r in spark.sql("select * from wmc").collect()
+    }
+    # the tumbling window [10:00:00, 10:00:10) closed when batch 2 moved
+    # the watermark to 10:04:30, so append mode emitted it, exactly
+    # once, with all 6 rows
+    assert rows.get((base, "m1")) == 6
+    assert sum(1 for k in rows if k[1] == "m1") == 1
+    # m2's window was still open (watermark < its end) when the stream
+    # ended, so append mode held it back
+    assert not any(k[1] == "m2" for k in rows)
+    # behind-watermark arrival: window finalized immediately (no state
+    # retained); emitted-on-arrival on this Spark, never duplicated
+    assert sum(1 for k in rows if k[1] == "late") <= 1
