@@ -133,6 +133,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_doc_jaccard(spark, sf):
         return dedup_text.ngram_jaccard_pairs(_read(spark, sf, "documents"))
 
+    def q_doc_clusters(spark, sf):
+        return dedup_text.dup_clusters(_read(spark, sf, "documents"))
+
     def q_doc_simhash(spark, sf):
         return dedup_text.simhash64(_read(spark, sf, "documents"))
 
@@ -227,6 +230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_signatures": q_doc_minhash_sig,
         "doc_minhash_band_pairs": q_doc_band_pairs,
         "doc_ngram_jaccard_pairs": q_doc_jaccard,
+        "doc_dup_clusters": q_doc_clusters,
         "doc_simhash64": q_doc_simhash,
         "doc_token_stats": q_doc_tokens,
         "doc_quality_score": q_doc_quality,
@@ -455,6 +459,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.id = id_a
             JOIN sizes sb ON sb.id = id_b
             WHERE round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) >= 0.4
+        """,
+        # connected components as a recursive reachability closure: an
+        # implementation of CC fully independent of the Spark operator
+        # (large-star/small-star or driver union-find), labelling each
+        # node with the min id among everything reachable from it
+        "doc_dup_clusters": f"""
+            WITH RECURSIVE {_SHINGLES3_CTE},
+            sizes AS (SELECT id, count(*) AS n_shingles FROM shingles GROUP BY id),
+            common AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+              FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+              WHERE a.id < b.id GROUP BY a.id, b.id
+            ),
+            pairs AS (
+              SELECT id_a, id_b FROM common
+              JOIN sizes sa ON sa.id = id_a
+              JOIN sizes sb ON sb.id = id_b
+              WHERE round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) >= 0.4
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b AS src, id_a AS dst FROM pairs
+            ),
+            reach AS (
+              SELECT doc_id AS node, doc_id AS label FROM documents
+              UNION
+              SELECT e.dst AS node, r.label AS label
+              FROM reach r JOIN edges e ON e.src = r.node
+            )
+            SELECT node AS doc_id, min(label) AS cluster_id
+            FROM reach GROUP BY node
         """,
         "doc_simhash64": f"""
             WITH {_WORDS_CTE},

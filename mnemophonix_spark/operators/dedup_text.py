@@ -267,3 +267,34 @@ def simhash64(df: DataFrame, id_col: str = DOC_ID, text_col: str = TEXT) -> Data
             ).alias("simhash")
         )
     )
+
+
+def dup_clusters(df: DataFrame, id_col: str = DOC_ID, text_col: str = TEXT,
+                 k: int = 3, min_jaccard: float = 0.4) -> DataFrame:
+    """Near-dup clusters over documents: exact-Jaccard pairs (>= the
+    threshold) -> connected components -> (doc_id, cluster_id), with
+    cluster_id = the component's minimum doc id and singletons labelled
+    by themselves.
+
+    The text twin of the image chain's cluster stage, but with a fully
+    SQL-expressible oracle: the DuckDB twin recomputes the same pairs
+    and labels components via a recursive-CTE reachability closure, so
+    the CC operator is verified against an independent non-Spark
+    implementation (the image clusters are checked against the NumPy
+    oracle's union-find instead).
+
+    Numeric ids are zero-padded to fixed-width strings around the
+    string-typed CC kernel so lexicographic min == numeric min.
+    """
+    from mnemophonix_spark.operators import components as comp
+
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, k, min_jaccard).select(
+        pad("id_a").alias("id_a"), pad("id_b").alias("id_b")
+    )
+    ids = df.select(pad(id_col).alias("image_id"))
+    out = comp.assign_clusters(ids, comp.connected_components(pairs))
+    return out.select(
+        F.col("image_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
