@@ -1,0 +1,49 @@
+"""Text-dedup corner cases the random documents table can't pin:
+numeric cluster labelling across id-width boundaries, and salting
+inertness below the bucket cap.  The sf0.01 DuckDB twins in
+__spark_entry__ remain the value-level gate."""
+
+from __future__ import annotations
+
+from mnemophonix_spark.operators import dedup_text
+
+
+def test_dup_clusters_numeric_min_label(spark):
+    """ids 9 and 10 share a text: the cluster label must be numeric
+    min 9 — a raw string CC would pick "10" < "9" lexicographically."""
+    text = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [(9, text), (10, text), (700, "an entirely different sentence "
+                                      "about nothing shared at all here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in dedup_text.dup_clusters(docs).collect()}
+    assert out == {9: 9, 10: 9, 700: 700}
+
+
+def test_dup_clusters_short_docs_are_singletons(spark):
+    """Docs with fewer than k words have no shingles, join no pairs,
+    and must still appear labelled by themselves."""
+    docs = spark.createDataFrame(
+        [(1, "tiny"), (2, "also tiny"), (3, "a b c d e f g")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in dedup_text.dup_clusters(docs).collect()}
+    assert out == {1: 1, 2: 2, 3: 3}
+
+
+def test_minhash_band_pairs_salt_inert_below_cap(spark):
+    """Below the hot-bucket cap every salt is 0, so salting must not
+    change the pair set (this is what keeps the SQL twin exact)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(i, base) for i in range(6)] + [(99, "unrelated words only here "
+                                              "nothing in common with others")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_text.minhash_band_pairs(docs).collect()
+    }
+    # 6 identical docs -> all 15 canonical pairs, the outlier in none
+    assert pairs == {(a, b) for a in range(6) for b in range(6) if a < b}
