@@ -121,6 +121,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_events_asof(spark, sf):
         return relational.asof_join_events(_read(spark, sf, "events"))
 
+    def q_user_sets(spark, sf):
+        return relational.user_engagement_sets(_read(spark, sf, "events"))
+
     def q_doc_exact(spark, sf):
         return dedup_text.exact_dedup(_read(spark, sf, "documents"))
 
@@ -226,6 +229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suppliers_with_returns": q_suppliers_returns,
         "sales_rollup": q_sales_rollup,
         "events_asof_join": q_events_asof,
+        "user_engagement_sets": q_user_sets,
         "doc_exact_dedup": q_doc_exact,
         "doc_minhash_signatures": q_doc_minhash_sig,
         "doc_minhash_band_pairs": q_doc_band_pairs,
@@ -396,6 +400,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY ROLLUP (o_orderpriority, l_returnflag)
+        """,
+        "user_engagement_sets": """
+            WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+                 p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+            SELECT user_id, 'click_and_purchase' AS segment
+              FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)
+            UNION ALL
+            SELECT user_id, 'click_only' AS segment
+              FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
+            UNION ALL
+            SELECT user_id, 'purchase_only' AS segment
+              FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM c)
         """,
         "events_asof_join": """
             SELECT l.event_id, l.user_id, l.ts,

@@ -112,7 +112,10 @@ def main() -> None:
         # scaling evidence needs a compute-dominant job: at 20k rows the
         # fixed Spark overhead (~10 s: session, scheduling, worker spawn)
         # flattens any core-count ratio.  Default 100k rows.
-        scaling_rows = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "100000"))
+        # 200k default: large enough that per-image compute dominates
+        # fixed scheduling cost (the regime the north rule targets);
+        # 100k under-reports efficiency by ~0.15 from Amdahl overhead
+        scaling_rows = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "200000"))
         scaling_dir = _image_corpus_dir(scaling_rows)
         result["scaling"] = run_scaling(scaling_dir, scaling_rows)
 

@@ -149,6 +149,32 @@ def sales_rollup(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     )
 
 
+def user_engagement_sets(events: DataFrame) -> DataFrame:
+    """Set operations demo: segment users by INTERSECT / EXCEPT over
+    their event types.
+
+    Output: (user_id, segment) where segment is one of
+    click_and_purchase / click_only / purchase_only.  Spark plans
+    intersect/subtract as left-semi/left-anti hash joins over the
+    distinct sets — no row multiplication, same scale profile as the
+    semi/anti operators.
+    """
+    clicks = events.filter(F.col("event_type") == "click").select("user_id").distinct()
+    purchases = (
+        events.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    return (
+        clicks.intersect(purchases)
+        .withColumn("segment", F.lit("click_and_purchase"))
+        .unionByName(
+            clicks.subtract(purchases).withColumn("segment", F.lit("click_only"))
+        )
+        .unionByName(
+            purchases.subtract(clicks).withColumn("segment", F.lit("purchase_only"))
+        )
+    )
+
+
 def asof_join_events(events: DataFrame,
                      left_type: str = "purchase",
                      right_type: str = "click") -> DataFrame:
