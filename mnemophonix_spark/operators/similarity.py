@@ -176,36 +176,70 @@ def lsh_ann_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed: int = 1234,
 ) -> DataFrame:
-    """Approximate top-k: brute-force cosine only within matching
-    hyperplane buckets.  Recall < 1 by construction; the scale path
-    when queries are many (bucket join replaces the cross join)."""
-    buckets = hyperplane_lsh_buckets(embeddings, n_planes, id_col, vec_col)
-    emb_b = embeddings.join(
-        buckets.withColumnRenamed("id", id_col), id_col
+    """Approximate top-k via MULTI-TABLE hyperplane LSH: candidates are
+    vectors sharing a bucket with the query in at least one of
+    ``n_tables`` independent plane sets; exact cosine + top-k only over
+    that candidate set.
+
+    Recall math (random hyperplanes): a pair at angle θ agrees on one
+    plane with p = 1 - θ/π, on a table with p^r, on ≥1 of L tables with
+    1-(1-p^r)^L.  For cos ≈ 0.3 neighbors (θ ≈ 72°, p ≈ 0.6):
+    r=8, L=1 → 1.6% (a single wide table is useless — measured 0.0
+    recall@5 on the sf0.01 embeddings); r=4, L=8 → ~65%.  Fewer planes
+    per table + more tables trades candidate-set size for recall; at
+    corpus scale raise n_planes so buckets stay bounded and raise
+    n_tables to recover recall — cost is L bucket joins on small keys,
+    never a cross join.
+
+    Candidate pairs are deduplicated across tables BEFORE the exact
+    scoring join, so each survivor is scored exactly once.
+    """
+    per_table = [
+        hyperplane_lsh_buckets(embeddings, n_planes, id_col, vec_col,
+                               seed=seed + 7919 * t)
+        .select("id", F.lit(t).alias("tbl"), "bucket")
+        for t in range(n_tables)
+    ]
+    buckets = per_table[0]
+    for t in per_table[1:]:
+        buckets = buckets.unionByName(t)
+
+    qids = queries.select(F.col(id_col).alias("qid")).distinct()
+    q_b = buckets.join(
+        qids.withColumnRenamed("qid", "id"), "id", "left_semi"
+    ).select(F.col("id").alias("query_id"), "tbl", "bucket")
+    cand = (
+        q_b.join(buckets.select(F.col("id").alias("neighbor_id"), "tbl", "bucket"),
+                 ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
-    q = emb_b.join(
-        queries.select(F.col(id_col).alias("qid")).withColumnRenamed("qid", id_col),
-        id_col,
-        "left_semi",
-    ).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        _norm(F.col(vec_col)).alias("qnorm"),
-        F.col("bucket"),
-    )
-    c = emb_b.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
-        _norm(F.col(vec_col)).alias("cnorm"),
-        F.col("bucket"),
+
+    vecs = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("vnorm"),
     )
     scored = (
-        q.join(c, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        cand.join(
+            vecs.select(F.col("vid").alias("query_id"),
+                        F.col("vec").alias("qvec"),
+                        F.col("vnorm").alias("qnorm")),
+            "query_id",
+        )
+        .join(
+            vecs.select(F.col("vid").alias("neighbor_id"),
+                        F.col("vec").alias("cvec"),
+                        F.col("vnorm").alias("cnorm")),
+            "neighbor_id",
+        )
         .select(
             "query_id",
             "neighbor_id",
@@ -224,3 +258,12 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def ann_recall(exact: DataFrame, approx: DataFrame) -> float:
+    """Recall audit: |approx ∩ exact| / |exact| over (query, neighbor)
+    pairs — run on a sample at scale to monitor the ANN trade-off."""
+    e = exact.select("query_id", "neighbor_id")
+    hit = approx.select("query_id", "neighbor_id").intersect(e).count()
+    total = e.count()
+    return hit / total if total else 1.0

@@ -1,0 +1,56 @@
+"""ANN quality audit: the LSH-bucketed scale path must actually find
+neighbors.  Everything here is deterministic (md5-derived hyperplanes,
+fixed seeds, fixed testdata), so the recall numbers are exact."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mnemophonix_spark.operators import similarity as sim
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") < 8)
+
+
+def test_multi_table_ann_recall(emb, queries):
+    exact = sim.cosine_topk(emb, queries)
+    approx = sim.lsh_ann_topk(emb, queries)  # r=4 planes, L=8 tables
+    r = sim.ann_recall(exact, approx)
+    # measured 0.70 on this data; floor leaves margin for testdata regen
+    assert r >= 0.5, f"multi-table recall@5 collapsed: {r}"
+    # every query must return a full k — candidates exist in some table
+    assert approx.count() == exact.count()
+
+
+def test_single_wide_table_is_worse(emb, queries):
+    """The r=8/L=1 configuration that motivated multi-table probing:
+    p^8 ~ 2% per true neighbor at cos~0.3 (measured 0.0 recall).  Keep
+    it pinned as strictly worse so a regression back to one wide table
+    cannot pass silently."""
+    exact = sim.cosine_topk(emb, queries)
+    wide = sim.lsh_ann_topk(emb, queries, n_planes=8, n_tables=1)
+    multi = sim.lsh_ann_topk(emb, queries)
+    assert sim.ann_recall(exact, wide) < sim.ann_recall(exact, multi)
+
+
+def test_ann_scores_match_exact_for_hits(emb, queries):
+    """For pairs the ANN does surface, cos_sim must equal the exact
+    scorer's value bit-for-bit (same double math, same rounding)."""
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in sim.cosine_topk(emb, queries, k=50).collect()
+    }
+    for r in sim.lsh_ann_topk(emb, queries).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert r["cos_sim"] == exact[key]
