@@ -210,6 +210,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return captions.caption_pairs(_image_corpus(spark, sf)).distinct()
 
+    def q_media_frame_sigs(spark, sf):
+        from mnemophonix_spark.operators import multimodal as mm
+
+        media = spark.createDataFrame(
+            [(m, bytearray(b)) for m, b in mm.synthesize_media()],
+            "media_id string, bytes binary",
+        )
+        sigs = mm.video_frame_signatures(media, every_nth=2)
+        return sigs.filter(F.col("decode_error").isNull()).select(
+            "media_id",
+            "frame_idx",
+            F.lower(F.md5(F.hex(F.col("minhash")))).alias("minhash_md5"),
+            "is_silence",
+        )
+
     def q_img_bands(spark, sf):
         from mnemophonix_spark.operators import lsh
         from mnemophonix_spark.operators.fingerprint import (
@@ -251,6 +266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_verified_pairs": q_img_verified_pairs,
         "img_clusters": q_img_clusters,
         "img_bands": q_img_bands,
+        "media_frame_sigs": q_media_frame_sigs,
         "caption_pairs": q_caption_pairs,
         "phash_dup_pairs": q_phash_dup_pairs,
     }
@@ -678,6 +694,7 @@ def oracle_sql() -> dict[str, str]:
         "img_verified_pairs": f"SELECT id_a, id_b FROM read_parquet('{img300}/verified_pairs.parquet')",
         "img_clusters": f"SELECT image_id, cluster_id FROM read_parquet('{img300}/clusters.parquet')",
         "img_bands": f"SELECT band_id, band_hash, image_id FROM read_parquet('{img300}/bands.parquet')",
+        "media_frame_sigs": f"SELECT media_id, frame_idx, minhash_md5, is_silence FROM read_parquet('{FIXTURES}/multimodal_oracle/frame_sigs.parquet')",
         "caption_pairs": f"SELECT id_a, id_b, via FROM read_parquet('{img300}/caption_pairs.parquet')",
         # full SQL twin over the corpus parquet itself (not a fixture):
         # the Spark query materializes the corpus first via ensure_corpus

@@ -139,3 +139,24 @@ def video_frame_signatures(
     return media.select("media_id", "bytes").mapInArrow(
         kernel, FRAME_SIGNATURE_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# deterministic media corpus (driver-gate input; no external data)
+# --------------------------------------------------------------------------
+
+def synthesize_media(n: int = 40, seed: int = 9) -> list[tuple[str, bytes]]:
+    """Deterministic fake-video table rows (media_id, bytes): frame
+    counts 3..8, 48x64 u8 frames from a seeded RNG; every 10th row is a
+    corrupt payload so the quarantine path is exercised end-to-end."""
+    rows: list[tuple[str, bytes]] = []
+    for i in range(n):
+        mid = f"media{i:05d}"
+        if i % 10 == 9:
+            rows.append((mid, b"mp4 bitstream absent " + bytes([i])))
+            continue
+        rng = np.random.default_rng(seed * 100_003 + i)
+        n_frames = 3 + int(rng.integers(0, 6))
+        frames = rng.uniform(0, 255, size=(n_frames, 48, 64))
+        rows.append((mid, encode_fake_video(frames)))
+    return rows
