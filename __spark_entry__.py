@@ -210,6 +210,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return captions.caption_pairs(_image_corpus(spark, sf)).distinct()
 
+    def q_stream_rollup(spark, sf):
+        from mnemophonix_spark.streaming.stream_search import stream_events_rollup
+
+        return stream_events_rollup(spark, sf)
+
     def q_media_frame_sigs(spark, sf):
         from mnemophonix_spark.operators import multimodal as mm
 
@@ -267,6 +272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_clusters": q_img_clusters,
         "img_bands": q_img_bands,
         "media_frame_sigs": q_media_frame_sigs,
+        "events_stream_rollup": q_stream_rollup,
         "caption_pairs": q_caption_pairs,
         "phash_dup_pairs": q_phash_dup_pairs,
     }
@@ -381,6 +387,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    sum(CAST(value AS DECIMAL(20,4))) AS sum_value,
                    count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2
+        """,
+        # Structured Streaming run (availableNow + complete mode) must
+        # equal the batch aggregate — same twin minus the distinct count
+        # (not supported in streaming aggregations)
+        "events_stream_rollup": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n_events,
+                   sum(CAST(value AS DECIMAL(20,4))) AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "regional_revenue": """

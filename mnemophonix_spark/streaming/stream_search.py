@@ -115,3 +115,43 @@ def windowed_match_counts(
         .groupBy(F.window("event_time", window, slide), F.col("match_id"))
         .agg(F.count("*").alias("n_matches"))
     )
+
+
+def stream_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming twin of the batch hourly rollup, run to
+    completion: file-source stream over the events table -> grouped
+    aggregation -> complete-mode memory sink, availableNow trigger.
+
+    Because availableNow drains all available input and complete mode
+    emits the final aggregation state, the result EQUALS the batch
+    groupBy — which gives the streaming engine an exact SQL oracle
+    (the driver checks it value-for-value against DuckDB, the same gate
+    as every batch operator).
+    """
+    import uuid
+
+    name = f"stream_rollup_{uuid.uuid4().hex[:12]}"
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props map<string,string>"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = stream.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("event_type"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(20,4)")).alias("sum_value"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
