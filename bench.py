@@ -73,14 +73,18 @@ def main() -> None:
     run_image_pipeline(spark, warm_dir)
     spark.catalog.clearCache()
 
-    t0 = time.time()
-    n_clusters = run_image_pipeline(spark, corpus_dir)
-    timings["img_dedup_e2e"] = round(time.time() - t0, 3)
+    # two timed laps, min taken: hypervisor steal on this VM spikes a
+    # single lap by up to ~10x for tens of seconds at a time
+    img_times = []
+    for _ in range(2):
+        t0 = time.time()
+        n_clusters = run_image_pipeline(spark, corpus_dir)
+        img_times.append(time.time() - t0)
+        # drop persisted stages so each lap (and the doc queries below)
+        # runs against a cold cache, not under storage-memory pressure
+        spark.catalog.clearCache()
+    timings["img_dedup_e2e"] = round(min(img_times), 3)
     images_per_sec = round(n_rows / timings["img_dedup_e2e"], 1)
-    # drop the image pipeline's persisted stages so the doc/embedding
-    # queries below are measured against a cold cache, not under the
-    # image job's storage-memory pressure
-    spark.catalog.clearCache()
 
     qs = entrymod.queries()
     for name in [
@@ -91,9 +95,12 @@ def main() -> None:
         "pricing_summary",
     ]:
         qs[name](spark, SF_DIR).count()  # warm-up lap, untimed
-        t0 = time.time()
-        n = qs[name](spark, SF_DIR).count()
-        timings[name] = round(time.time() - t0, 3)
+        laps = []
+        for _ in range(2):
+            t0 = time.time()
+            n = qs[name](spark, SF_DIR).count()
+            laps.append(time.time() - t0)
+        timings[name] = round(min(laps), 3)
 
     result = {
         "metric": "bench_total",
