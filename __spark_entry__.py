@@ -230,6 +230,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "is_silence",
         )
 
+    def q_media_decisions(spark, sf):
+        from mnemophonix_spark.operators import multimodal as mm
+
+        media = spark.createDataFrame(
+            [(m, bytearray(b)) for m, b in mm.synthesize_media()],
+            "media_id string, bytes binary",
+        )
+        sigs = mm.video_frame_signatures(media, every_nth=2)
+        return mm.entry_match_decisions(sigs)
+
     def q_img_bands(spark, sf):
         from mnemophonix_spark.operators import lsh
         from mnemophonix_spark.operators.fingerprint import (
@@ -273,6 +283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_bands": q_img_bands,
         "media_frame_sigs": q_media_frame_sigs,
         "events_stream_rollup": q_stream_rollup,
+        "media_match_decisions": q_media_decisions,
         "caption_pairs": q_caption_pairs,
         "phash_dup_pairs": q_phash_dup_pairs,
     }
@@ -710,6 +721,26 @@ def oracle_sql() -> dict[str, str]:
         "img_clusters": f"SELECT image_id, cluster_id FROM read_parquet('{img300}/clusters.parquet')",
         "img_bands": f"SELECT band_id, band_hash, image_id FROM read_parquet('{img300}/bands.parquet')",
         "media_frame_sigs": f"SELECT media_id, frame_idx, minhash_md5, is_silence FROM read_parquet('{FIXTURES}/multimodal_oracle/frame_sigs.parquet')",
+        # per-entry aggregation decision recomputed in SQL from the
+        # frame-signature fixture (md5 equality == minhash equality)
+        "media_match_decisions": f"""
+            WITH fs AS (
+              SELECT media_id, minhash_md5
+              FROM read_parquet('{FIXTURES}/multimodal_oracle/frame_sigs.parquet')
+              WHERE NOT is_silence
+            ),
+            m AS (
+              SELECT a.media_id AS media_a, b.media_id AS media_b, 100 AS score
+              FROM fs a JOIN fs b
+                ON a.minhash_md5 = b.minhash_md5 AND a.media_id < b.media_id
+            )
+            SELECT media_a, media_b,
+                   round(avg(score), 6) AS avg_score,
+                   count(*) AS n_matches,
+                   ((count(*) >= 10 OR (avg(score) >= 35 AND count(*) >= 5))
+                    AND avg(score) >= 30) AS accepted
+            FROM m GROUP BY media_a, media_b
+        """,
         "caption_pairs": f"SELECT id_a, id_b, via FROM read_parquet('{img300}/caption_pairs.parquet')",
         # full SQL twin over the corpus parquet itself (not a fixture):
         # the Spark query materializes the corpus first via ensure_corpus

@@ -145,18 +145,89 @@ def video_frame_signatures(
 # deterministic media corpus (driver-gate input; no external data)
 # --------------------------------------------------------------------------
 
+# clone plan: clone_id -> (base_id, frames clipped off the tail).
+# Frame counts of the bases are chosen so every branch of the reference
+# accept rule (search.c:19-29) fires across the planted pairs:
+#   0->30 exact, 20 frames -> 10 sampled matches: accept via n >= 10
+#   1->31 exact, 12 frames ->  6 matches: accept via avg>=35 and n>=5
+#   2->32 clip 2, 10 frames ->  4 matches: REJECT (n < 5)
+#   3->33 clip 2, 30 frames -> 14 matches: accept via n >= 10
+_CLONES = {30: (0, 0), 31: (1, 0), 32: (2, 2), 33: (3, 2)}
+_BASE_FRAMES = {0: 20, 1: 12, 2: 10, 3: 30}
+
+
 def synthesize_media(n: int = 40, seed: int = 9) -> list[tuple[str, bytes]]:
-    """Deterministic fake-video table rows (media_id, bytes): frame
-    counts 3..8, 48x64 u8 frames from a seeded RNG; every 10th row is a
-    corrupt payload so the quarantine path is exercised end-to-end."""
+    """Deterministic fake-video table rows (media_id, bytes): 48x64 u8
+    frames from a seeded RNG; every 10th row is a corrupt payload so
+    the quarantine path is exercised end-to-end, and rows 30-33 are
+    planted clones of rows 0-3 (see _CLONES) so the per-entry
+    aggregation decision has ground truth."""
+    frames_by_idx: dict[int, np.ndarray] = {}
     rows: list[tuple[str, bytes]] = []
     for i in range(n):
         mid = f"media{i:05d}"
         if i % 10 == 9:
             rows.append((mid, b"mp4 bitstream absent " + bytes([i])))
             continue
-        rng = np.random.default_rng(seed * 100_003 + i)
-        n_frames = 3 + int(rng.integers(0, 6))
-        frames = rng.uniform(0, 255, size=(n_frames, 48, 64))
+        if i in _CLONES and _CLONES[i][0] in frames_by_idx:
+            base, clip = _CLONES[i]
+            frames = frames_by_idx[base]
+            if clip:
+                frames = frames[:-clip]
+        else:
+            rng = np.random.default_rng(seed * 100_003 + i)
+            n_frames = _BASE_FRAMES.get(i, 3 + int(rng.integers(0, 6)))
+            # low-frequency content (coarse noise upsampled 8x): full-res
+            # uniform noise averages flat under the 128x32 canonical
+            # resize and every frame trips the silence gate
+            coarse = rng.uniform(0, 255, size=(n_frames, 6, 8))
+            frames = np.kron(coarse, np.ones((1, 8, 8)))
+            frames_by_idx[i] = frames
         rows.append((mid, encode_fake_video(frames)))
     return rows
+
+
+def entry_match_decisions(frame_sigs: DataFrame) -> DataFrame:
+    """Per-entry aggregation + accept decision over multi-signature
+    entries (search.c:19-29,110-194): pairs of media whose sampled
+    frames produce matching signatures, aggregated to
+    (media_a, media_b, avg_score, n_matches, accepted) with the
+    reference thresholds — accepted iff (n_matches >= 10 or
+    (avg >= 35 and n_matches >= 5)) and avg >= 30.
+
+    Frame matches come from an equi-join on the full minhash (the
+    exact-match fast path; the banded probe for near-matches is the
+    image pipeline's lsh.candidate_pairs).  Equal minhashes make the
+    100-byte equality score exactly 100, so the score is a literal
+    here; the general scorer lives in lsh.score_pairs.
+    """
+    from pyspark.sql import functions as F
+
+    from mnemophonix_spark import config as C
+
+    ok = frame_sigs.filter(
+        F.col("decode_error").isNull() & ~F.col("is_silence")
+    ).select("media_id", "minhash")
+    a = ok.select(F.col("media_id").alias("media_a"), "minhash")
+    b = ok.select(F.col("media_id").alias("media_b"), "minhash")
+    matches = (
+        a.join(b, "minhash")
+        .filter(F.col("media_a") < F.col("media_b"))
+        .withColumn("score", F.lit(100))
+    )
+    n, avg = F.col("n_matches"), F.col("avg_score")
+    return (
+        matches.groupBy("media_a", "media_b")
+        .agg(
+            F.round(F.avg("score"), 6).alias("avg_score"),
+            F.count("*").alias("n_matches"),
+        )
+        .withColumn(
+            "accepted",
+            (
+                (n >= C.MIN_SIGNATURE_MATCHES)
+                | ((avg >= C.GOOD_SCORE) & (n >= C.MIN_SIGNATURE_MATCHES // 2))
+            )
+            & (avg >= C.MIN_AVERAGE_SCORE),
+        )
+    )

@@ -195,3 +195,37 @@ def test_windowed_match_counts_watermark_semantics(spark, tmp_path):
     # behind-watermark arrival: window finalized immediately (no state
     # retained); emitted-on-arrival on this Spark, never duplicated
     assert sum(1 for k in rows if k[1] == "late") <= 1
+
+
+def test_entry_match_decisions_reference_semantics(spark):
+    """Planted clones exercise every branch of the accept rule
+    (search.c:19-29), and the Spark decisions must equal the oracle's
+    aggregate_entry_scores on the same match lists."""
+    from mnemophonix_spark import oracle
+    from mnemophonix_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        [(m, bytearray(b)) for m, b in mm.synthesize_media()],
+        "media_id string, bytes binary",
+    )
+    sigs = mm.video_frame_signatures(media, every_nth=2)
+    got = {
+        (r["media_a"], r["media_b"]): (r["n_matches"], bool(r["accepted"]))
+        for r in mm.entry_match_decisions(sigs).collect()
+    }
+    # planted truth: n>=10 branch, avg-path branch, clip-reject, n>=10
+    assert got == {
+        ("media00000", "media00030"): (10, True),
+        ("media00001", "media00031"): (6, True),
+        ("media00002", "media00032"): (4, False),
+        ("media00003", "media00033"): (14, True),
+    }
+    # same match lists through the reference-semantics oracle
+    sig_scores = [
+        (f"{a}|{b}", 100, 0) for (a, b), (n, _) in got.items() for _i in range(n)
+    ]
+    expected = {
+        entry: acc for entry, _avg, _n, acc in oracle.aggregate_entry_scores(sig_scores)
+    }
+    for (a, b), (_n, acc) in got.items():
+        assert expected[f"{a}|{b}"] == acc
