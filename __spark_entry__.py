@@ -124,6 +124,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_user_sets(spark, sf):
         return relational.user_engagement_sets(_read(spark, sf, "events"))
 
+    def q_doc_percentiles(spark, sf):
+        return relational.doc_length_percentiles(_read(spark, sf, "documents"))
+
+    def q_event_pivot(spark, sf):
+        return relational.event_type_pivot(_read(spark, sf, "events"))
+
     def q_doc_exact(spark, sf):
         return dedup_text.exact_dedup(_read(spark, sf, "documents"))
 
@@ -260,6 +266,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_rollup": q_sales_rollup,
         "events_asof_join": q_events_asof,
         "user_engagement_sets": q_user_sets,
+        "doc_length_percentiles": q_doc_percentiles,
+        "event_type_pivot": q_event_pivot,
         "doc_exact_dedup": q_doc_exact,
         "doc_minhash_signatures": q_doc_minhash_sig,
         "doc_minhash_band_pairs": q_doc_band_pairs,
@@ -442,6 +450,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY ROLLUP (o_orderpriority, l_returnflag)
+        """,
+        "doc_length_percentiles": """
+            SELECT doc_id % 4 AS bucket,
+                   count(*) AS n_docs,
+                   round(quantile_cont(length(text), 0.5), 6) AS p50,
+                   round(quantile_cont(length(text), 0.9), 6) AS p90,
+                   round(quantile_cont(length(text), 0.99), 6) AS p99,
+                   max(length(text)) AS max_len
+            FROM documents GROUP BY doc_id % 4
+        """,
+        "event_type_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click')    AS n_click,
+                   count(*) FILTER (event_type = 'error')    AS n_error,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup')   AS n_signup,
+                   count(*) FILTER (event_type = 'view')     AS n_view
+            FROM events GROUP BY user_id
         """,
         "user_engagement_sets": """
             WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),

@@ -271,3 +271,43 @@ def user_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             "session_start",
         )
     )
+
+
+def doc_length_percentiles(documents: DataFrame) -> DataFrame:
+    """Exact percentile aggregation (linear interpolation) of document
+    lengths per language bucket — Spark's `percentile` and DuckDB's
+    `quantile_cont` share the interpolation rule, so the twin is exact
+    modulo round(6).  Exact percentiles sort within each group; at
+    100 TB switch to approx_percentile (t-digest sketch, one pass,
+    mergeable) and loosen the oracle accordingly.
+    """
+    lengths = documents.select(
+        (F.col("doc_id") % 4).alias("bucket"),
+        F.length("text").alias("len"),
+    )
+    return lengths.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.expr("percentile(len, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(len, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(len, 0.99)"), 6).alias("p99"),
+        F.max("len").alias("max_len"),
+    )
+
+
+def event_type_pivot(events: DataFrame) -> DataFrame:
+    """Pivot: one row per user, one column per event type with counts.
+
+    The explicit values list keeps the pivot single-pass (no extra
+    distinct-scan job to discover columns) and the output schema stable
+    — both required at scale and for a deterministic SQL twin (written
+    as conditional aggregation, which is exactly Spark's physical plan
+    for pivot).
+    """
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .select("user_id", *[F.col(t).alias(f"n_{t}") for t in types])
+    )
