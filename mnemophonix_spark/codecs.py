@@ -115,8 +115,13 @@ def encode_png(gray: np.ndarray) -> bytes:
 
 def _unfilter(scan: np.ndarray, w: int, h: int, bpp: int = 1) -> np.ndarray:
     """Undo PNG scanline filters 0-4 (grayscale, 1 byte/pixel)."""
-    out = np.zeros((h, w), dtype=np.uint8)
     stride = w * bpp
+    mat = scan[: h * (stride + 1)].reshape(h, stride + 1)
+    if not mat[:, 0].any():
+        # every scanline filter 0 (what our encoder and most
+        # grayscale writers emit): raw bytes, no per-row loop
+        return mat[:, 1:].copy()
+    out = np.zeros((h, w), dtype=np.uint8)
     for y in range(h):
         f = scan[y * (stride + 1)]
         row = scan[y * (stride + 1) + 1 : (y + 1) * (stride + 1)].astype(np.int32)
