@@ -377,13 +377,19 @@ def oracle_sql() -> dict[str, str]:
     img120 = f"{FIXTURES}/image_oracle_n120"
     img300 = f"{FIXTURES}/image_oracle_n300"
     return {
+        # final decimal aggregates are emitted as round(CAST(.. AS
+        # DOUBLE), 6) on BOTH sides: engines widen decimal sums to
+        # different precisions (identical values, different physical
+        # type), and the driver hashes the representation — the rounded
+        # double is the cross-engine-canonical form (same recipe as the
+        # percentile/jaccard queries)
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(l_quantity AS DECIMAL(20,4))) AS sum_qty,
-                   sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS sum_base_price,
-                   sum(CAST(CAST(l_extendedprice AS DECIMAL(20,4))
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE), 6) AS sum_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE), 6) AS sum_base_price,
+                   round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(20,4))
                        * (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4)))
-                       AS DECIMAL(20,4))) AS sum_disc_price,
+                       AS DECIMAL(20,4))) AS DOUBLE), 6) AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -391,9 +397,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "top_revenue_customers": """
             SELECT c_custkey, c_name,
-                   sum(CAST(CAST(l_extendedprice AS DECIMAL(20,4))
+                   round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(20,4))
                        * (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4)))
-                       AS DECIMAL(20,4))) AS revenue
+                       AS DECIMAL(20,4))) AS DOUBLE), 6) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -404,7 +410,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_rollup": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n_events,
-                   sum(CAST(value AS DECIMAL(20,4))) AS sum_value,
+                   round(CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE), 6) AS sum_value,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1, 2
         """,
@@ -414,14 +420,14 @@ def oracle_sql() -> dict[str, str]:
         "events_stream_rollup": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n_events,
-                   sum(CAST(value AS DECIMAL(20,4))) AS sum_value
+                   round(CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE), 6) AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "regional_revenue": """
             SELECT r_name, n_name,
-                   sum(CAST(CAST(l_extendedprice AS DECIMAL(20,4))
+                   round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(20,4))
                        * (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4)))
-                       AS DECIMAL(20,4))) AS revenue,
+                       AS DECIMAL(20,4))) AS DOUBLE), 6) AS revenue,
                    count(*) AS n_items
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -446,7 +452,7 @@ def oracle_sql() -> dict[str, str]:
         "sales_rollup": """
             SELECT o_orderpriority, l_returnflag,
                    GROUPING(o_orderpriority, l_returnflag) AS gid,
-                   sum(CAST(l_quantity AS DECIMAL(20,4))) AS sum_qty,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE), 6) AS sum_qty,
                    count(*) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY ROLLUP (o_orderpriority, l_returnflag)
@@ -735,8 +741,8 @@ def oracle_sql() -> dict[str, str]:
               FROM planes GROUP BY id, p
             )
             SELECT id,
-                   sum(CAST((CASE WHEN proj > 0 THEN 1 ELSE 0 END)
-                       * CAST(power(2, p) AS BIGINT) AS BIGINT)) AS bucket
+                   CAST(sum(CAST((CASE WHEN proj > 0 THEN 1 ELSE 0 END)
+                       * CAST(power(2, p) AS BIGINT) AS BIGINT)) AS BIGINT) AS bucket
             FROM projs GROUP BY id
         """,
         # image chain: NumPy-oracle parquet fixtures (chain itself is not
@@ -767,6 +773,64 @@ def oracle_sql() -> dict[str, str]:
                     AND avg(score) >= 30) AS accepted
             FROM m GROUP BY media_a, media_b
         """,
+        # multi-table hyperplane LSH ANN: the whole pipeline is
+        # deterministic md5 arithmetic, so the twin generalizes the
+        # emb_lsh_buckets SQL over the 16 per-table seed offsets
+        # (seed + 7919*t), takes bucket-mates of the query set as
+        # candidates, and scores exact cosine + row_number over them —
+        # the same computation lsh_ann_topk does, expressed relationally
+        "emb_lsh_ann_topk": """
+            WITH dims AS (
+              SELECT vec_id AS id, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) - 1 AS d
+              FROM embeddings
+            ),
+            projs AS (
+              SELECT dims.id, t.tbl, p.p,
+                     sum(((instr('0123456789abcdef',
+                            substr(md5((1234 + 7919 * t.tbl)::VARCHAR || ':' ||
+                                       p.p::VARCHAR || ':' || dims.d::VARCHAR), 1, 1))
+                           - 1) - 7.5) * CAST(dims.x AS DOUBLE)) AS proj
+              FROM dims
+              CROSS JOIN (SELECT unnest(range(0, 16)) AS tbl) t
+              CROSS JOIN (SELECT unnest(range(0, 4)) AS p) p
+              GROUP BY dims.id, t.tbl, p.p
+            ),
+            buckets AS (
+              SELECT id, tbl,
+                     CAST(sum(CAST((CASE WHEN proj > 0 THEN 1 ELSE 0 END)
+                         * CAST(power(2, p) AS BIGINT) AS BIGINT)) AS BIGINT) AS bucket
+              FROM projs GROUP BY id, tbl
+            ),
+            cand AS (
+              SELECT DISTINCT q.id AS query_id, n.id AS neighbor_id
+              FROM buckets q JOIN buckets n
+                ON q.tbl = n.tbl AND q.bucket = n.bucket
+              WHERE q.id < 8 AND n.id != q.id
+            ),
+            elems AS (
+              SELECT c.query_id, c.neighbor_id,
+                     unnest(a.embedding) AS qx, unnest(b.embedding) AS ex
+              FROM cand c
+              JOIN embeddings a ON a.vec_id = c.query_id
+              JOIN embeddings b ON b.vec_id = c.neighbor_id
+            ),
+            s AS (
+              SELECT query_id, neighbor_id,
+                     sum(CAST(qx AS DOUBLE) * CAST(ex AS DOUBLE)) AS dot,
+                     sqrt(sum(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE))) AS nq,
+                     sqrt(sum(CAST(ex AS DOUBLE) * CAST(ex AS DOUBLE))) AS ne
+              FROM elems GROUP BY query_id, neighbor_id
+            ),
+            r AS (
+              SELECT query_id, neighbor_id, round(dot / (nq * ne), 6) AS cos_sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY round(dot / (nq * ne), 6) DESC, neighbor_id)
+                       AS rank
+              FROM s
+            )
+            SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5
+        """,
         "caption_pairs": f"SELECT id_a, id_b, via FROM read_parquet('{img300}/caption_pairs.parquet')",
         # full SQL twin over the corpus parquet itself (not a fixture):
         # the Spark query materializes the corpus first via ensure_corpus
@@ -789,5 +853,4 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, bit_count(xor(ph_a, ph_b)) AS hamming
             FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 4
         """,
-        # emb_lsh_ann_topk: rows-only (approximate top-k has no SQL twin)
     }

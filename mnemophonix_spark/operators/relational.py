@@ -5,12 +5,26 @@ window/sort/limit) demonstrated on the standard star schema.  Sums are
 computed in DECIMAL so results are bit-identical across engines
 regardless of partial-aggregation order (double addition is not
 associative; decimal is exact).
+
+Output-type rule: every final decimal aggregate is emitted as
+``round(CAST(x AS DOUBLE), 6)``.  Engines widen decimal sums
+differently (Spark sum(decimal(20,4)) -> decimal(30,4), DuckDB ->
+decimal(38,4)); the values agree but a representation-hashing gate
+sees different physical types.  A decimal(,4) value converts to the
+same nearest double in both engines (numerator < 2^53 at any SF we
+materialize per group), so the rounded double is cross-engine
+bit-identical while the internal accumulation stays exact decimal.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _outd(c: Column) -> Column:
+    """Final-output normalization for exact decimal aggregates."""
+    return F.round(c.cast("double"), 6)
 
 
 def pricing_summary(lineitem: DataFrame) -> DataFrame:
@@ -20,12 +34,12 @@ def pricing_summary(lineitem: DataFrame) -> DataFrame:
         lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
-            F.sum(
+            _outd(F.sum(dec("l_quantity"))).alias("sum_qty"),
+            _outd(F.sum(dec("l_extendedprice"))).alias("sum_base_price"),
+            _outd(F.sum(
                 (dec("l_extendedprice") * (F.lit(1).cast("decimal(20,4)") - dec("l_discount")))
                 .cast("decimal(20,4)")
-            ).alias("sum_disc_price"),
+            )).alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -40,12 +54,14 @@ def top_revenue_customers(lineitem: DataFrame, orders: DataFrame,
         .join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.sum(
+            _outd(F.sum(
                 (dec("l_extendedprice") * (F.lit(1).cast("decimal(20,4)") - dec("l_discount")))
                 .cast("decimal(20,4)")
-            ).alias("revenue")
+            )).alias("revenue")
         )
     )
+    # order on the emitted (rounded-double) value so the top-N cut is
+    # the same one the SQL twin makes; custkey breaks exact ties
     return rev.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(limit)
 
 
@@ -59,7 +75,7 @@ def events_hourly_rollup(events: DataFrame) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(20,4)")).alias("sum_value"),
+            _outd(F.sum(F.col("value").cast("decimal(20,4)"))).alias("sum_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
     )
@@ -91,10 +107,10 @@ def regional_revenue(region: DataFrame, nation: DataFrame,
         .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum(
+            _outd(F.sum(
                 (dec("l_extendedprice") * (F.lit(1).cast("decimal(20,4)") - dec("l_discount")))
                 .cast("decimal(20,4)")
-            ).alias("revenue"),
+            )).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -143,7 +159,7 @@ def sales_rollup(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
         .rollup("o_orderpriority", "l_returnflag")
         .agg(
             F.grouping_id().alias("gid"),
-            F.sum(dec("l_quantity")).alias("sum_qty"),
+            _outd(F.sum(dec("l_quantity"))).alias("sum_qty"),
             F.count("*").alias("n_items"),
         )
     )

@@ -144,7 +144,12 @@ def stream_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type"),
     ).agg(
         F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(20,4)")).alias("sum_value"),
+        # round-6 double output: decimal accumulation (exact, order-
+        # independent), double emission (identical physical type to the
+        # SQL twin — see relational.py output-type rule)
+        F.round(
+            F.sum(F.col("value").cast("decimal(20,4)")).cast("double"), 6
+        ).alias("sum_value"),
     )
     q = (
         agg.writeStream.format("memory")
@@ -153,5 +158,16 @@ def stream_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    return spark.table(name)
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError(
+                "stream_events_rollup: availableNow run did not finish in "
+                "300 s — aggregation state would be partial"
+            )
+        # materialize before dropping the memory-sink table
+        result = spark.table(name).cache()
+        result.count()
+        return result
+    finally:
+        q.stop()
+        spark.catalog.dropTempView(name)

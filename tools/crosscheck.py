@@ -39,20 +39,40 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> str:
+    """Strict replica of the driver gate: after column-name sort and
+    row sort, values must be EXACTLY equal (the driver hashes the
+    representation — atol-close is not good enough).  A result that is
+    close-but-not-bitwise gets the distinct verdict 'CLOSE' so type
+    mismatches are visible locally before the driver sees them."""
     if sorted(spark_df.columns) != sorted(duck_df.columns):
         return f"SCHEMA MISMATCH spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"
     if len(spark_df) != len(duck_df):
         return f"ROWCOUNT MISMATCH spark={len(spark_df)} duck={len(duck_df)}"
-    a, b = normalize(spark_df.copy()), normalize(duck_df.copy())
+    raw_a, raw_b = spark_df.copy(), duck_df.copy()
+    a, b = normalize(raw_a), normalize(raw_b)
+    close_cols = []
     for c in a.columns:
         av, bv = a[c].values, b[c].values
         if a[c].dtype == float:
-            ok = np.allclose(av.astype(float), bv.astype(float), atol=1e-9, equal_nan=True)
+            exact = np.array_equal(av.astype(float), bv.astype(float), equal_nan=True)
+            if exact:
+                continue
+            if np.allclose(av.astype(float), bv.astype(float), atol=1e-9, equal_nan=True):
+                close_cols.append(c)
+                continue
         else:
-            ok = (av == bv).all()
-        if not ok:
-            bad = next(i for i in range(len(av)) if not _eq(av[i], bv[i]))
-            return f"VALUE MISMATCH col={c} row{bad}: spark={av[bad]!r} duck={bv[bad]!r}"
+            if (av == bv).all():
+                continue
+        bad = next(i for i in range(len(av)) if not _eq(av[i], bv[i]))
+        return f"VALUE MISMATCH col={c} row{bad}: spark={av[bad]!r} duck={bv[bad]!r}"
+    if close_cols:
+        return f"CLOSE (not bit-exact; driver hash would FAIL) cols={close_cols}"
+    # physical-type check: decimal/object vs float mismatches hash
+    # differently even when values compare equal above
+    for c in sorted(raw_a.columns):
+        ka, kb = raw_a[c].dtype.kind, raw_b[c].dtype.kind
+        if ka != kb and {ka, kb} != {"i", "u"}:
+            return f"DTYPE MISMATCH col={c}: spark={raw_a[c].dtype} duck={raw_b[c].dtype}"
     return "OK"
 
 
