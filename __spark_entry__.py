@@ -246,6 +246,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sigs = mm.video_frame_signatures(media, every_nth=2)
         return mm.entry_match_decisions(sigs)
 
+    def _audio_corpus(spark):
+        from mnemophonix_spark.operators import multimodal as mm
+
+        return spark.createDataFrame(
+            [(m, bytearray(b)) for m, b in mm.synthesize_audio()],
+            "media_id string, bytes binary",
+        )
+
+    def q_audio_frame_sigs(spark, sf):
+        from mnemophonix_spark.operators import multimodal as mm
+
+        sigs = mm.audio_entry_signatures(_audio_corpus(spark))
+        return sigs.filter(F.col("decode_error").isNull()).select(
+            "media_id",
+            "frame_idx",
+            F.lower(F.md5(F.hex(F.col("minhash")))).alias("minhash_md5"),
+            "is_silence",
+        )
+
+    def q_audio_sample_digest(spark, sf):
+        from mnemophonix_spark.operators import multimodal as mm
+
+        dig = mm.audio_sample_digest(_audio_corpus(spark))
+        return dig.filter(F.col("decode_error").isNull()).select(
+            "media_id", "n_samples", "samples_md5", "artist", "title", "album"
+        )
+
+    def q_sig_roundtrip(spark, sf):
+        # op 18 gate (fingerprintio.c:10-206): signatures -> strict
+        # 200-hex text DB -> re-import; the digest of the reimported
+        # table must equal the original signature fixture, so any
+        # export/parse corruption flips the hash
+        import os
+
+        from mnemophonix_spark.operators.fingerprint import fingerprint
+        from mnemophonix_spark.sources import signature_io
+
+        sigs = fingerprint(_image_corpus(spark, sf))
+        path = os.path.join(CACHE_ROOT, f"sig_export_n{_corpus_rows_for(sf)}.txt")
+        signature_io.export_text(sigs, path)
+        imported = signature_io.import_text(spark, path)
+        return imported.select(
+            "image_id",
+            F.lower(F.md5(F.hex(F.col("minhash")))).alias("minhash_md5"),
+        )
+
     def q_img_bands(spark, sf):
         from mnemophonix_spark.operators import lsh
         from mnemophonix_spark.operators.fingerprint import (
@@ -290,6 +336,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_clusters": q_img_clusters,
         "img_bands": q_img_bands,
         "media_frame_sigs": q_media_frame_sigs,
+        "audio_frame_sigs": q_audio_frame_sigs,
+        "audio_sample_digest": q_audio_sample_digest,
+        "sig_roundtrip_digest": q_sig_roundtrip,
         "events_stream_rollup": q_stream_rollup,
         "media_match_decisions": q_media_decisions,
         "caption_pairs": q_caption_pairs,
@@ -753,6 +802,13 @@ def oracle_sql() -> dict[str, str]:
         "img_clusters": f"SELECT image_id, cluster_id FROM read_parquet('{img300}/clusters.parquet')",
         "img_bands": f"SELECT band_id, band_hash, image_id FROM read_parquet('{img300}/bands.parquet')",
         "media_frame_sigs": f"SELECT media_id, frame_idx, minhash_md5, is_silence FROM read_parquet('{FIXTURES}/multimodal_oracle/frame_sigs.parquet')",
+        # audio chain (ops 1-17 in the reference's native domain):
+        # NumPy-oracle fixtures from tools/make_audio_oracle.py over the
+        # deterministic synthesize_audio corpus
+        "audio_frame_sigs": f"SELECT media_id, frame_idx, minhash_md5, is_silence FROM read_parquet('{FIXTURES}/audio_oracle/frame_sigs.parquet')",
+        "audio_sample_digest": f"SELECT media_id, n_samples, samples_md5, artist, title, album FROM read_parquet('{FIXTURES}/audio_oracle/sample_digest.parquet')",
+        # roundtrip through the text DB is the identity on digests
+        "sig_roundtrip_digest": f"SELECT image_id, minhash_md5 FROM read_parquet('{img300}/signature_digest.parquet')",
         # per-entry aggregation decision recomputed in SQL from the
         # frame-signature fixture (md5 equality == minhash equality)
         "media_match_decisions": f"""

@@ -202,6 +202,131 @@ def decode_fake_jpeg(data: bytes) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
+# WAV (strict 16-bit 44100 Hz integer PCM — the reference's native input)
+# --------------------------------------------------------------------------
+
+_WAV_RATE = 44100
+
+
+def encode_wav(
+    samples: np.ndarray,
+    rate: int = _WAV_RATE,
+    artist: str | None = None,
+    title: str | None = None,
+    album: str | None = None,
+) -> bytes:
+    """int16[n, channels] -> RIFF/WAVE bytes, with an optional LIST INFO
+    chunk after the data chunk carrying IART/INAM/IPRD metadata
+    (the layout wav.c:188-255 reads)."""
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    block_align = 2 * ch
+    data = s.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, rate, rate * block_align, block_align, 16
+    )
+    info = b""
+    fields = [(b"IART", artist), (b"INAM", title), (b"IPRD", album)]
+    body = b"".join(
+        tag + struct.pack("<I", len(v.encode())) + v.encode()
+        for tag, v in fields
+        if v is not None
+    )
+    if body:
+        info = b"LIST" + struct.pack("<I", 4 + len(body)) + b"INFO" + body
+    payload = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + info
+    )
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, dict[str, str | None]]:
+    """Strict WAV parse (wav.c:88-299): returns (int16[n, channels],
+    {artist, title, album}).
+
+    Validation mirrors the reference exactly: RIFF/WAVE magic
+    (wav.c:88-106), fmt chunk first with wFormatTag==1, chunk size 16,
+    44100 Hz, 16-bit (wav.c:136-139 — anything else is rejected), walk
+    unknown chunks to 'data' (wav.c:158-178), then an optional
+    LIST/INFO chunk AFTER data for IART/INAM/IPRD (wav.c:188-255).
+    Raises CodecError so the scan operator quarantines the row.
+    """
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise CodecError("not a WAVE file")
+    pos = 12
+    if len(data) < pos + 8 or data[pos : pos + 4] != b"fmt ":
+        raise CodecError("missing fmt chunk")
+    (fmt_size,) = struct.unpack_from("<I", data, pos + 4)
+    if fmt_size < 16 or pos + 8 + fmt_size > len(data):
+        raise CodecError("truncated fmt chunk")
+    tag, ch, rate, _avg, block_align, bits = struct.unpack_from(
+        "<HHIIHH", data, pos + 8
+    )
+    if tag != 1 or fmt_size != 16 or rate != _WAV_RATE or bits != 16:
+        raise CodecError(
+            f"unsupported wave format tag={tag} rate={rate} bits={bits}"
+        )
+    if ch == 0 or block_align != 2 * ch:
+        raise CodecError("bad channel layout")
+    pos += 8 + fmt_size
+    # walk optional chunks to 'data' (wav.c:158-178)
+    while True:
+        if pos + 8 > len(data):
+            raise CodecError("no data chunk")
+        ctag = data[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", data, pos + 4)
+        pos += 8
+        if ctag == b"data":
+            break
+        pos += csize
+    if pos + csize > len(data):
+        raise CodecError("truncated data chunk")
+    n = csize // block_align
+    samples = (
+        np.frombuffer(data, dtype="<i2", count=n * ch, offset=pos)
+        .reshape(n, ch)
+        .copy()
+    )
+    meta: dict[str, str | None] = {"artist": None, "title": None, "album": None}
+    # optional LIST INFO after data (wav.c:188-255)
+    ipos = pos + csize
+    if ipos + 12 <= len(data) and data[ipos : ipos + 4] == b"LIST":
+        (lsize,) = struct.unpack_from("<I", data, ipos + 4)
+        if data[ipos + 8 : ipos + 12] == b"INFO":
+            j, end = ipos + 12, min(ipos + 8 + lsize, len(data))
+            keys = {b"IART": "artist", b"INAM": "title", b"IPRD": "album"}
+            while j + 8 <= end:
+                ftag = data[j : j + 4]
+                (fsize,) = struct.unpack_from("<I", data, j + 4)
+                j += 8
+                if ftag in keys and j + fsize <= end:
+                    meta[keys[ftag]] = data[j : j + fsize].split(b"\x00")[0].decode(
+                        "utf-8", "replace"
+                    )
+                j += fsize
+    return samples, meta
+
+
+def mixdown(samples: np.ndarray) -> np.ndarray:
+    """int16[n, channels] -> mono float32[n] in [-1, 1]: per-sample
+    channel sum / channels / 32767.0, the signed batch-path mixdown of
+    wav.c:358-374 (the mic path's unsigned-average bug at wav.c:319-325
+    is deliberately not reproduced)."""
+    s = np.asarray(samples)
+    if s.ndim == 1:
+        s = s[:, None]
+    acc = s.astype(np.int32).sum(axis=1)
+    return (
+        (acc.astype(np.float32) / np.float32(s.shape[1])) / np.float32(32767.0)
+    ).astype(np.float32)
+
+
+# --------------------------------------------------------------------------
 # dispatch
 # --------------------------------------------------------------------------
 

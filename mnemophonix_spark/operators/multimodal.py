@@ -142,6 +142,253 @@ def video_frame_signatures(
 
 
 # --------------------------------------------------------------------------
+# audio modality: real spectral chain over WAV / FPCM payloads
+# --------------------------------------------------------------------------
+
+AUDIO_DIGEST_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("samples_md5", T.StringType()),
+        T.StructField("artist", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("album", T.StringType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def _decode_audio_payload(data: bytes):
+    """Dispatch one audio payload -> (normalized 5512 Hz float32
+    samples, metadata dict).  WAV runs the full reference front-end
+    (strict parse -> mixdown -> 31-tap resample -> RMS normalize,
+    wav.c:345-394); FPCM carries raw mono float samples + rate.
+    Raises codecs.CodecError / UnsupportedModality / audio.AudioTooShort
+    for the quarantine path."""
+    from mnemophonix_spark import codecs
+    from mnemophonix_spark.functions import audio
+
+    if data[:4] == b"RIFF":
+        ints, meta = codecs.decode_wav(data)
+        mono = codecs.mixdown(ints)
+        samples = audio.resample_5512(mono)
+    elif data[:4] == _FPCM_MAGIC:
+        raw, rate = decode_fake_pcm(data)
+        if rate == audio.SAMPLE_RATE:
+            samples = audio.resample_5512(raw)
+        elif rate == audio.TARGET_RATE:
+            samples = raw.astype(np.float32)
+        else:
+            raise audio.AudioTooShort(f"unsupported sample rate {rate}")
+        meta = {"artist": None, "title": None, "album": None}
+    else:
+        raise UnsupportedModality(
+            "audio payload is neither WAV nor the FPCM stand-in"
+        )
+    return audio.normalize_samples(samples), meta
+
+
+def audio_entry_signatures(media: DataFrame) -> DataFrame:
+    """(media_id, bytes) audio rows -> one signature row per spectral
+    image: the reference's actual audio chain (ops 1-17 in their native
+    domain), Arrow-batched.
+
+    Output reuses FRAME_SIGNATURE_SCHEMA with frame_idx = spectral
+    image index (the reference's multi-signature entries,
+    fingerprinting.c:58-76).  Undecodable / too-short rows are
+    quarantined with decode_error set (FILE_TOO_SMALL and
+    UNSUPPORTED_WAVE_FORMAT both map here — the reference aborts the
+    file, a large job routes and reports).
+    """
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from mnemophonix_spark import codecs
+        from mnemophonix_spark.functions import audio
+
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            payloads = batch.column("bytes").to_pylist()
+            out_id: list[str] = []
+            out_idx: list[int] = []
+            out_mh: list[bytes] = []
+            out_sil: list[bool] = []
+            errs: list[tuple[str, str]] = []
+            for mid, data in zip(ids, payloads):
+                try:
+                    samples, _meta = _decode_audio_payload(data)
+                    sig = audio.audio_signatures(samples)
+                except (codecs.CodecError, UnsupportedModality,
+                        audio.AudioTooShort) as exc:
+                    errs.append((mid, str(exc)))
+                    continue
+                n_img = sig["minhash"].shape[0]
+                out_id.extend([mid] * n_img)
+                out_idx.extend(range(n_img))
+                out_mh.extend(sig["minhash"][i].tobytes() for i in range(n_img))
+                out_sil.extend(bool(s) for s in sig["is_silence"])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id + [e[0] for e in errs], pa.string()),
+                    pa.array(out_idx + [-1] * len(errs), pa.int32()),
+                    pa.array(out_mh + [None] * len(errs), pa.binary()),
+                    pa.array(out_sil + [None] * len(errs), pa.bool_()),
+                    pa.array([None] * len(out_id) + [e[1] for e in errs], pa.string()),
+                ],
+                names=["media_id", "frame_idx", "minhash", "is_silence", "decode_error"],
+            )
+
+    return media.select("media_id", "bytes").mapInArrow(
+        kernel, FRAME_SIGNATURE_SCHEMA
+    )
+
+
+def audio_sample_digest(media: DataFrame) -> DataFrame:
+    """(media_id, bytes) -> per-entry digest of the decoded front-end:
+    (n_samples, md5 of the normalized 5512 Hz float32 bytes, WAV INFO
+    metadata).  Gates parse/metadata/mixdown/resample/normalize
+    (wav.c:88-299,345-394, resample.c, audionormalizer.c) value-exactly
+    without shipping sample arrays through the comparator."""
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import hashlib
+
+        from mnemophonix_spark import codecs
+        from mnemophonix_spark.functions import audio
+
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            payloads = batch.column("bytes").to_pylist()
+            rows = []
+            for mid, data in zip(ids, payloads):
+                try:
+                    samples, meta = _decode_audio_payload(data)
+                except (codecs.CodecError, UnsupportedModality,
+                        audio.AudioTooShort) as exc:
+                    rows.append((mid, None, None, None, None, None, str(exc)))
+                    continue
+                rows.append(
+                    (
+                        mid,
+                        int(samples.size),
+                        hashlib.md5(samples.astype("<f4").tobytes()).hexdigest(),
+                        meta["artist"],
+                        meta["title"],
+                        meta["album"],
+                        None,
+                    )
+                )
+            cols = list(zip(*rows)) if rows else [[]] * 7
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols[0], pa.string()),
+                    pa.array(cols[1], pa.int32()),
+                    pa.array(cols[2], pa.string()),
+                    pa.array(cols[3], pa.string()),
+                    pa.array(cols[4], pa.string()),
+                    pa.array(cols[5], pa.string()),
+                    pa.array(cols[6], pa.string()),
+                ],
+                names=[
+                    "media_id", "n_samples", "samples_md5",
+                    "artist", "title", "album", "decode_error",
+                ],
+            )
+
+    return media.select("media_id", "bytes").mapInArrow(
+        kernel, AUDIO_DIGEST_SCHEMA
+    )
+
+
+def synthesize_audio(n: int = 32, seed: int = 11) -> list[tuple[str, bytes]]:
+    """Deterministic audio corpus (media_id, bytes): sine mixtures in
+    strict WAV and FPCM containers, covering every front-end branch:
+
+    - mono WAV with INFO metadata (parse + metadata path)
+    - stereo WAV with L = s + d, R = s - d so the signed channel
+      average reconstructs s EXACTLY -> a planted clone of the mono
+      row that only matches if mixdown (wav.c:364-374) is right
+    - FPCM at 44100 Hz carrying the same mixed-down floats -> planted
+      cross-container clone through the shared resample path
+    - FPCM at 5512 Hz (generate_fingerprint_from_samples entry)
+    - quarantine rows: truncated WAV, 22.05 kHz WAV (unsupported
+      format), sub-frame 0.05 s WAV (FILE_TOO_SMALL), foreign payload
+    """
+    from mnemophonix_spark import codecs
+
+    dur = 2.5  # seconds -> ~2.1 s of frames -> >=1 spectral image
+    sr = 44100
+    t = np.arange(int(dur * sr), dtype=np.float64) / sr
+    rows: list[tuple[str, bytes]] = []
+    for i in range(n):
+        mid = f"audio{i:05d}"
+        rng = np.random.default_rng(seed * 70_001 + i)
+        kind = i % 8
+        if kind == 6:  # quarantine rows (one of the four per 8-block)
+            bad = (i // 8) % 4
+            if bad == 0:
+                rows.append((mid, b"RIFF\x10\x00\x00\x00WAVEfmt "))  # truncated
+            elif bad == 1:
+                s = (np.sin(2 * np.pi * 440 * t[: sr // 2]) * 8000).astype(np.int16)
+                wav = codecs.encode_wav(s[:, None])
+                # corrupt the sample rate field to 22050 (unsupported)
+                wav = wav[:24] + struct.pack("<I", 22050) + wav[28:]
+                rows.append((mid, wav))
+            elif bad == 2:
+                s = (np.sin(2 * np.pi * 440 * t[: sr // 20]) * 8000).astype(np.int16)
+                rows.append((mid, codecs.encode_wav(s[:, None])))  # too short
+            else:
+                rows.append((mid, b"OggS this codec is absent" + bytes([i])))
+            continue
+        # stationary pure tones legitimately trip the silence gate (all
+        # spectral energy collapses into a few Haar coefficients), so
+        # give the signal music-like temporal texture: chirps with
+        # amplitude modulation plus a noise floor
+        freqs = rng.uniform(320, 1700, size=3)
+        sweeps = rng.uniform(-120, 120, size=3)  # Hz/s frequency drift
+        amps = rng.uniform(0.1, 0.25, size=3)
+        mods = rng.uniform(0.5, 4.0, size=3)  # AM rate in Hz
+        sig = sum(
+            a
+            * (0.55 + 0.45 * np.sin(2 * np.pi * m * t + k))
+            * np.sin(2 * np.pi * (f * t + 0.5 * s * t * t))
+            for k, (f, s, a, m) in enumerate(zip(freqs, sweeps, amps, mods))
+        )
+        sig = sig + 0.02 * rng.standard_normal(t.size)
+        ints = np.clip(sig * 32767.0, -32767, 32767).astype(np.int16)
+        if kind in (0, 1, 2, 3):  # mono WAV + INFO metadata
+            rows.append(
+                (mid, codecs.encode_wav(
+                    ints[:, None], artist=f"artist{i}", title=f"track{i}",
+                    album=f"album{i}",
+                ))
+            )
+            if kind == 0:  # planted stereo clone: avg reconstructs ints
+                d = rng.integers(-500, 500, size=ints.size).astype(np.int32)
+                left = np.clip(ints.astype(np.int32) + d, -32768, 32767)
+                right = 2 * ints.astype(np.int32) - left
+                stereo = np.stack([left, right], axis=1).astype(np.int16)
+                rows.append((f"audio{i:05d}st", codecs.encode_wav(stereo)))
+            elif kind == 1:  # planted FPCM-44100 clone of the mixdown
+                rows.append(
+                    (f"audio{i:05d}fp", encode_fake_pcm(
+                        codecs.mixdown(ints[:, None]), rate=44100))
+                )
+        elif kind == 4:  # FPCM at 5512 Hz (same textured recipe)
+            t5 = np.arange(int(dur * 5512), dtype=np.float64) / 5512
+            low = sum(
+                a
+                * (0.55 + 0.45 * np.sin(2 * np.pi * m * t5 + k))
+                * np.sin(2 * np.pi * (f * t5 + 0.5 * s * t5 * t5))
+                for k, (f, s, a, m) in enumerate(zip(freqs, sweeps, amps, mods))
+            )
+            low = low + 0.02 * rng.standard_normal(t5.size)
+            rows.append((mid, encode_fake_pcm(low.astype(np.float32), rate=5512)))
+        else:  # kind 5, 7: plain mono WAV, no metadata
+            rows.append((mid, codecs.encode_wav(ints[:, None])))
+    return rows
+
+
+# --------------------------------------------------------------------------
 # deterministic media corpus (driver-gate input; no external data)
 # --------------------------------------------------------------------------
 
