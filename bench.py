@@ -102,6 +102,8 @@ def main() -> None:
             laps.append(time.time() - t0)
         timings[name] = round(min(laps), 3)
 
+    png_mixed = _bench_png_mixed_filters()
+
     result = {
         "metric": "bench_total",
         "value": round(sum(timings.values()), 3),
@@ -112,6 +114,10 @@ def main() -> None:
         "image_rows": n_rows,
         "images_per_sec": images_per_sec,
         "cluster_rows": n_clusters,
+        # foreign-PNG decode path: the repo's own encoder emits filter 0
+        # (covered by img_dedup_e2e), so the Sub/Up/Average/Paeth
+        # unfilter tiers get their own single-core throughput probe
+        "png_mixed_filter_decode": png_mixed,
     }
     spark.stop()
 
@@ -129,11 +135,35 @@ def main() -> None:
     print(json.dumps(result))
 
 
+def _bench_png_mixed_filters() -> dict:
+    """Single-core decode throughput on PNGs re-encoded with the
+    adaptive per-row filter mixes real-world encoders emit (the
+    filter-0-only corpus never exercises these tiers).  Deterministic
+    batch; vectorized-unfilter regression guard."""
+    import numpy as np
+
+    from mnemophonix_spark import codecs
+
+    rng = np.random.default_rng(0)
+    imgs = []
+    for i in range(24):
+        img = np.round(rng.uniform(0, 255, size=(128, 128))).astype(np.uint8)
+        f = rng.choice([1, 2, 3, 4], size=128)
+        imgs.append(codecs.encode_png(img, row_filters=f))
+    for data in imgs[:4]:
+        codecs.decode_png(data)  # warm-up
+    t0 = time.time()
+    for data in imgs:
+        codecs.decode_png(data)
+    dt = time.time() - t0
+    return {
+        "images": len(imgs),
+        "ms_per_image": round(dt / len(imgs) * 1000, 2),
+        "images_per_sec_1core": round(len(imgs) / dt, 1),
+    }
+
+
 def run_scaling(corpus_dir: str, n_rows: int, repeats: int | None = None) -> dict:
-    if repeats is None:
-        # hypervisor steal on this VM varies minute-to-minute; min over
-        # more interleaved repeats converges on true core capability
-        repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
     """Same job, same input, two parallelism levels N and 4N cores
     (north_rule evidence; no real cluster in this sandbox, per driver
     instruction).
@@ -146,6 +176,10 @@ def run_scaling(corpus_dir: str, n_rows: int, repeats: int | None = None) -> dic
     actually has the cores.  Runs interleave and the min per config is
     kept — min is the standard contention-robust estimator.
     """
+    if repeats is None:
+        # hypervisor steal on this VM varies minute-to-minute; min over
+        # more interleaved repeats converges on true core capability
+        repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
     from mnemophonix_spark.session import get_spark
 
     lo, hi = (

@@ -98,12 +98,35 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(gray: np.ndarray) -> bytes:
+def encode_png(gray: np.ndarray, row_filters=None) -> bytes:
+    """8-bit grayscale PNG.  ``row_filters`` (None = all 0) is an
+    optional per-row array of filter types 0-4 — used to produce
+    corpora that exercise the Sub/Up/Average/Paeth decode paths the
+    way real-world encoders do (adaptive per-row filtering)."""
     h, w = gray.shape
     g = np.clip(gray, 0, 255).astype(np.uint8)
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
     scanlines = np.zeros((h, 1 + w), dtype=np.uint8)
-    scanlines[:, 1:] = g  # filter byte 0 per row
+    if row_filters is None:
+        scanlines[:, 1:] = g  # filter byte 0 per row
+    else:
+        f = np.asarray(row_filters, dtype=np.uint8)
+        if f.shape != (h,) or f.max(initial=0) > 4:
+            raise CodecError("bad row_filters")
+        cur = g.astype(np.int32)
+        up = np.zeros((h, w), dtype=np.int32)
+        up[1:] = cur[:-1]
+        left = np.zeros((h, w), dtype=np.int32)
+        left[:, 1:] = cur[:, :-1]
+        ul = np.zeros((h, w), dtype=np.int32)
+        ul[1:, 1:] = cur[:-1, :-1]
+        pred = np.select(
+            [f[:, None] == 1, f[:, None] == 2, f[:, None] == 3, f[:, None] == 4],
+            [left, up, (left + up) >> 1, _paeth(left, up, ul)],
+            default=0,
+        )
+        scanlines[:, 0] = f
+        scanlines[:, 1:] = ((cur - pred) & 0xFF).astype(np.uint8)
     idat = zlib.compress(scanlines.tobytes(), 6)
     return (
         _PNG_MAGIC
@@ -113,43 +136,100 @@ def encode_png(gray: np.ndarray) -> bytes:
     )
 
 
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG spec 9.4): nearest of a/b/c to
+    a+b-c, ties broken a, then b."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
 def _unfilter(scan: np.ndarray, w: int, h: int, bpp: int = 1) -> np.ndarray:
-    """Undo PNG scanline filters 0-4 (grayscale, 1 byte/pixel)."""
+    """Undo PNG scanline filters 0-4 (grayscale, 1 byte/pixel) — fully
+    vectorized, no per-pixel Python.
+
+    Three tiers by what the file actually uses:
+    - all filter 0 (our encoder, many grayscale writers): one reshape;
+    - filters {0,1} only: no inter-row dependency — filter-1 rows are
+      a mod-256 prefix sum, one batched cumsum for all of them;
+    - general mix: anti-diagonal wavefront.  Cell (y,x) depends only on
+      (y,x-1), (y-1,x), (y-1,x-1), so every cell on diagonal d = x+y is
+      computable at once from diagonals d-1 and d-2 — O(h+w) vector
+      steps instead of O(h*w) Python iterations, any per-row filter mix.
+    """
     stride = w * bpp
     mat = scan[: h * (stride + 1)].reshape(h, stride + 1)
-    if not mat[:, 0].any():
-        # every scanline filter 0 (what our encoder and most
-        # grayscale writers emit): raw bytes, no per-row loop
-        return mat[:, 1:].copy()
-    out = np.zeros((h, w), dtype=np.uint8)
-    for y in range(h):
-        f = scan[y * (stride + 1)]
-        row = scan[y * (stride + 1) + 1 : (y + 1) * (stride + 1)].astype(np.int32)
-        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(w, dtype=np.int32)
-        if f == 0:
-            cur = row
-        elif f == 2:  # Up
-            cur = (row + prev) & 0xFF
-        elif f in (1, 3, 4):  # Sub / Average / Paeth need a left-scan
-            cur = np.zeros(w, dtype=np.int32)
-            left = 0
-            for x in range(w):
-                if f == 1:
-                    val = row[x] + left
-                elif f == 3:
-                    val = row[x] + ((left + prev[x]) >> 1)
-                else:  # Paeth
-                    a, b2, c2 = left, prev[x], (prev[x - 1] if x > 0 else 0)
-                    p = a + b2 - c2
-                    pa, pb, pc = abs(p - a), abs(p - b2), abs(p - c2)
-                    pred = a if (pa <= pb and pa <= pc) else (b2 if pb <= pc else c2)
-                    val = row[x] + pred
-                cur[x] = val & 0xFF
-                left = cur[x]
+    filters = mat[:, 0]
+    if filters.max(initial=0) > 4:
+        raise CodecError(f"bad PNG filter {int(filters.max())}")
+    data = mat[:, 1:]
+    if not filters.any():
+        return data.copy()
+    if filters.max() <= 2:
+        # {0,1,2} only — no Average/Paeth, so nothing is sequential in
+        # x given mod-256 prefix sums: filter-0/1 rows are independent
+        # (1 = horizontal cumsum), and each maximal run of consecutive
+        # filter-2 rows is a vertical cumsum on top of the row above.
+        acc = np.cumsum(data.astype(np.uint32), axis=1, dtype=np.uint32) & 0xFF
+        out = np.where(filters[:, None] == 1, acc, data).astype(np.uint32)
+        is_up = filters == 2
+        y = 0
+        while y < h:
+            if not is_up[y]:
+                y += 1
+                continue
+            end = y
+            while end < h and is_up[end]:
+                end += 1
+            base = out[y - 1] if y > 0 else np.zeros(w, dtype=np.uint32)
+            out[y:end] = (
+                base + np.cumsum(out[y:end], axis=0, dtype=np.uint32)
+            ) & 0xFF
+            y = end
+        return out.astype(np.uint8)
+    # General mix: anti-diagonal wavefront over a zero-padded buffer.
+    # In the flat padded array, the cells of diagonal d and their
+    # left/up/up-left neighbors are all arithmetic progressions of
+    # stride w, so every step is plain strided slicing — no index
+    # arrays, no boundary masks (the pad row/column supplies the
+    # spec's zero priors).
+    pad = np.zeros((h + 1) * (w + 1), dtype=np.int32)
+    padf = pad  # flat view; cell (y, x) lives at (y+1)*(w+1) + x + 1
+    row = data.astype(np.int32).reshape(-1)  # flat [h*w]; (y,x) at y*w+x
+    f = filters.astype(np.int32)
+    any4 = bool((f == 4).any())
+    uniform = int(f[0]) if (f == f[0]).all() else -1
+    for d in range(h + w - 1):
+        y0 = max(0, d - w + 1)
+        y1 = min(h, d + 1)
+        cnt = y1 - y0
+        cur = slice((w + d + 2) + y0 * w, (w + d + 2) + y1 * w, w)
+        left = padf[(w + 1 + d) + y0 * w : (w + 1 + d) + y1 * w : w]
+        up = padf[(d + 1) + y0 * w : (d + 1) + y1 * w : w]
+        fd = f[y0:y1]
+        if w > 1:  # flat (y, d-y) = y*(w-1) + d: stride w-1
+            raw = row[d + y0 * (w - 1) : d + y1 * (w - 1) : w - 1]
+        else:  # single column: diagonal d holds exactly cell (d, 0)
+            raw = row[y0:y1]
+        if uniform == 4:
+            pred = _paeth(left, up, padf[d + y0 * w : d + y1 * w : w])
+        elif uniform == 3:
+            pred = (left + up) >> 1
+        elif any4:
+            ul = padf[d + y0 * w : d + y1 * w : w]
+            pred = np.select(
+                [fd == 1, fd == 2, fd == 3, fd == 4],
+                [left, up, (left + up) >> 1, _paeth(left, up, ul)],
+                default=0,
+            )
         else:
-            raise CodecError(f"bad PNG filter {f}")
-        out[y] = cur.astype(np.uint8)
-    return out
+            pred = np.select(
+                [fd == 1, fd == 2, fd == 3],
+                [left, up, (left + up) >> 1],
+                default=0,
+            )
+        padf[cur] = (raw[:cnt] + pred[:cnt]) & 0xFF
+    return pad.reshape(h + 1, w + 1)[1:, 1:].astype(np.uint8)
 
 
 def decode_png(data: bytes) -> np.ndarray:

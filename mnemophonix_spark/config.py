@@ -76,6 +76,22 @@ SIMHASH_MAX_HAMMING = 3
 # mod-size tables (lsh.c:61-74)
 MAX_BUCKET_SIZE = 256
 
+# --- pair-side broadcast policy (score_pairs / verify_pairs) ---------------
+# "auto"  : broadcast only when Catalyst's plan-time size estimate fits
+#           under BROADCAST_MAX_BYTES.  Exact whenever the pair stage is
+#           checkpointed/persisted (parquet-backed stats); an estimate
+#           otherwise.
+# "force" : unconditional broadcast hint (round-1 behavior; correct when
+#           the candidate set is known small).
+# "never" : plan shuffle joins and let AQE convert to broadcast from
+#           RUNTIME sizes — the fully skew-safe mode for pathological
+#           corpora (mass duplicates) where plan-time estimates cannot
+#           see the quadratic pair blow-up.
+PAIR_BROADCAST_MODE = os.environ.get("SPARK_GRAFT_PAIR_BROADCAST", "auto")
+BROADCAST_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_BROADCAST_MAX_BYTES", str(64 << 20))
+)
+
 # --- Spark session defaults ------------------------------------------------
 SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
 ARROW_BATCH_ROWS = 256      # images are heavy; keep Arrow batches modest

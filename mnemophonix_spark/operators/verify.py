@@ -73,16 +73,31 @@ def verify_pairs(
 
     Output: (id_a, id_b, n_shared_bands, score, verified_by string).
     """
-    # the scored-pair side is tiny relative to the corpus: broadcast it
-    # through both joins so the corpus streams once with no shuffle
+    from mnemophonix_spark.operators.lsh import broadcast_decision
+
+    # the scored-pair side is usually tiny relative to the corpus:
+    # broadcast it through both joins so the corpus streams once with
+    # no shuffle — size-aware (config.PAIR_BROADCAST_MODE): ONE
+    # decision from the scored estimate (exact when the stage is
+    # materialized/committed) governs the narrow pair frames, since
+    # every later frame here is row-bounded by scored; pathological
+    # pair sets fall back to shuffle joins AQE can re-plan
+    bc = F.broadcast if broadcast_decision(scored) else (lambda df: df)
+    # the payload frame carries image bytes (orders of magnitude wider
+    # than a pair row): give it a proportionally tighter byte budget
+    bc_payload = (
+        F.broadcast
+        if broadcast_decision(scored, limit_bytes=C.BROADCAST_MAX_BYTES // 64)
+        else (lambda df: df)
+    )
     ph = corpus.select("image_id", "phash")
     step1 = ph.withColumnRenamed("image_id", "id_a").withColumnRenamed(
         "phash", "phash_a"
-    ).join(F.broadcast(scored), "id_a")
+    ).join(bc(scored), "id_a")
     with_ph = (
         ph.withColumnRenamed("image_id", "id_b")
         .withColumnRenamed("phash", "phash_b")
-        .join(F.broadcast(step1), "id_b")
+        .join(bc(step1), "id_b")
         .withColumn(
             "phash_ham",
             F.bit_count(F.col("phash_a").bitwiseXOR(F.col("phash_b"))),
@@ -107,17 +122,17 @@ def verify_pairs(
         F.col("image_id").alias("id_a"),
         F.col("bytes").alias("bytes_a"),
         F.col("fmt").alias("fmt_a"),
-    ).join(F.broadcast(needs_pixels), "id_a")
+    ).join(bc(needs_pixels), "id_a")
     joined = payload.select(
         F.col("image_id").alias("id_b"),
         F.col("bytes").alias("bytes_b"),
         F.col("fmt").alias("fmt_b"),
     ).join(
-        # bytes_a rides inside the broadcast: acceptable because the
-        # leftover set (phash gate already passed the easy pairs) is
-        # small by construction; if it ever grows, flip to a shuffle
-        # join via config rather than broadcasting image payloads
-        F.broadcast(step_a),
+        # bytes_a rides inside the broadcast only under the tighter
+        # payload budget: the leftover set (phash gate already passed
+        # the easy pairs) is usually tiny, but image payloads are wide
+        # — oversize pair sets shuffle instead of flooding the driver
+        bc_payload(step_a),
         "id_b",
     ).select(
         "id_a", "id_b", "n_shared_bands", "score", "bytes_a", "fmt_a",

@@ -57,19 +57,24 @@ def run_dedup(
 
     def stage(name: str, build) -> DataFrame:
         if store is None:
-            # no checkpoint dir: persist every stage, but materialize
-            # ONLY the fingerprint stage eagerly.  `valid` is referenced
-            # twice by score_pairs and a lazy persist lets the parallel
-            # broadcast-exchange jobs of those joins race to compute the
-            # same un-cached mapInArrow chain several times over (~2x
-            # end-to-end wall time measured at 20k rows).  Every later
-            # stage has a single consumer (or is consumed via one reused
-            # broadcast exchange), so forcing them too only adds serial
-            # job barriers — measured as ~2/3 of the pipeline's Amdahl
-            # serial term at 100k rows, the difference between 0.75 and
-            # 0.84 scaling efficiency at 2->8 cores
+            # no checkpoint dir: persist every stage, but eagerly
+            # materialize only three.  `signatures` because `valid` is
+            # referenced twice by score_pairs and a lazy persist lets
+            # the parallel broadcast-exchange jobs of those joins race
+            # to compute the same un-cached mapInArrow chain several
+            # times over (~2x end-to-end wall time measured at 20k
+            # rows).  `candidates`/`scored` because the size-aware
+            # broadcast decision (lsh.broadcast_decision) reads their
+            # plan-time stats: materialized caches report EXACT bytes,
+            # so a pathological pair blow-up is visible before the
+            # broadcast is chosen — and both frames are pair-sized, so
+            # the extra job barrier is negligible (measured within VM
+            # noise of the lazy variant at 20k rows).  Later wide
+            # stages stay lazy: forcing them adds serial barriers
+            # measured as ~2/3 of the pipeline's Amdahl serial term at
+            # 100k rows (0.75 vs 0.84 scaling efficiency at 2->8 cores)
             df = build().persist()
-            if name == "signatures":
+            if name in ("signatures", "candidates", "scored"):
                 df.count()
             return df
         return store.run_stage(name, build, input_fingerprint=fp, log=log)

@@ -188,3 +188,55 @@ def test_phash_dup_pairs_recovers_resize_dups(spark, corpus_dir, truth):
     # and no caption-only (different pixels) pairs
     cap_truth = {(p["id_a"], p["id_b"]) for p in pairs if p["kind"] in (5, 6)}
     assert not (cap_truth & got)
+
+
+def test_broadcast_decision_modes(spark):
+    """Size-aware pair-side broadcast switch (VERDICT r1 finding #4)."""
+    from mnemophonix_spark import config as C
+    from mnemophonix_spark.operators import lsh
+
+    df = spark.createDataFrame(
+        [(f"id{i}", f"id{i+1}", 2) for i in range(50)],
+        "id_a string, id_b string, n_shared_bands long",
+    ).persist()
+    df.count()  # materialized cache => exact stats
+    assert lsh.broadcast_decision(df, mode="force") is True
+    assert lsh.broadcast_decision(df, mode="never") is False
+    assert lsh.broadcast_decision(df, mode="auto") is True  # tiny frame
+    assert lsh.broadcast_decision(df, mode="auto", limit_bytes=0) is False
+    with pytest.raises(ValueError):
+        lsh.broadcast_decision(df, mode="sometimes")
+    df.unpersist()
+
+
+def test_pipeline_shuffle_join_path_equivalent(spark, corpus_dir, stages):
+    """mode='never' (pure shuffle joins, the pathological-corpus
+    fallback) must produce exactly the force-mode scored/verified sets."""
+    from mnemophonix_spark import config as C
+
+    baseline_scored = {
+        (r["id_a"], r["id_b"], r["n_shared_bands"], r["score"])
+        for r in stages["scored"].collect()
+    }
+    baseline_verified = {
+        (r["id_a"], r["id_b"]) for r in stages["verified"].collect()
+    }
+    old = C.PAIR_BROADCAST_MODE
+    C.PAIR_BROADCAST_MODE = "never"
+    try:
+        alt = pipeline.run_dedup(spark, corpus_dir)
+        got_scored = {
+            (r["id_a"], r["id_b"], r["n_shared_bands"], r["score"])
+            for r in alt["scored"].collect()
+        }
+        got_verified = {(r["id_a"], r["id_b"]) for r in alt["verified"].collect()}
+        # the shuffle plan must not contain our broadcast hints (AQE may
+        # still convert at runtime; the *logical* hint must be gone)
+        logical = alt["scored"]._jdf.queryExecution().optimizedPlan().toString()
+        assert "ResolvedHint" not in logical
+    finally:
+        C.PAIR_BROADCAST_MODE = old
+        for name in ("signatures", "bands", "candidates", "scored", "verified"):
+            alt[name].unpersist()
+    assert got_scored == baseline_scored
+    assert got_verified == baseline_verified
