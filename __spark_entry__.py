@@ -216,10 +216,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return captions.caption_pairs(_image_corpus(spark, sf)).distinct()
 
+    def q_caption_substring_sa(spark, sf):
+        # suffix-array substring pass (north_rule names the technique);
+        # semantics identical to the blocking pass, so the fixture's
+        # via='substring' rows are its exact oracle
+        from mnemophonix_spark.operators import captions
+
+        return (
+            captions.caption_substring_pairs_sa(_image_corpus(spark, sf))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+
     def q_stream_rollup(spark, sf):
         from mnemophonix_spark.streaming.stream_search import stream_events_rollup
 
         return stream_events_rollup(spark, sf)
+
+    def q_stream_sliding(spark, sf):
+        from mnemophonix_spark.streaming.stream_search import (
+            stream_sliding_window_rollup,
+        )
+
+        return stream_sliding_window_rollup(spark, sf)
 
     def q_media_frame_sigs(spark, sf):
         from mnemophonix_spark.operators import multimodal as mm
@@ -340,8 +359,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_sample_digest": q_audio_sample_digest,
         "sig_roundtrip_digest": q_sig_roundtrip,
         "events_stream_rollup": q_stream_rollup,
+        "events_stream_sliding_window": q_stream_sliding,
         "media_match_decisions": q_media_decisions,
         "caption_pairs": q_caption_pairs,
+        "caption_substring_sa": q_caption_substring_sa,
         "phash_dup_pairs": q_phash_dup_pairs,
     }
 
@@ -472,6 +493,20 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE), 6) AS sum_value
             FROM events GROUP BY 1, 2
         """,
+        # sliding-window streaming rollup (complete mode == batch): each
+        # event belongs to the 2 windows starting at
+        # floor(ts/slide)*slide - j*slide, j in {0,1}; epoch arithmetic
+        # reproduces Spark's 1970-aligned window assignment exactly
+        "events_stream_sliding_window": """
+            SELECT make_timestamp(CAST(
+                     (CAST(floor(epoch(ts) / 1800) AS BIGINT) - j.j) * 1800
+                     AS BIGINT) * 1000000) AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE), 6) AS sum_value
+            FROM events CROSS JOIN (SELECT unnest(range(0, 2)) AS j) j
+            GROUP BY 1, 2
+        """,
         "regional_revenue": """
             SELECT r_name, n_name,
                    round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(20,4))
@@ -536,11 +571,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, 'purchase_only' AS segment
               FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM c)
         """,
+        # right side deduplicated to max event_id per (user_id, ts) in
+        # BOTH engines: ASOF JOIN leaves the choice among duplicate
+        # right timestamps unspecified, so the dedup makes the tie
+        # semantics deterministic and part of the contract
         "events_asof_join": """
             SELECT l.event_id, l.user_id, l.ts,
                    r.event_id AS asof_event_id, r.ts AS asof_ts
             FROM (SELECT * FROM events WHERE event_type = 'purchase') l
-            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+            ASOF LEFT JOIN (
+              SELECT user_id, ts, max(event_id) AS event_id
+              FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+            ) r
               ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "user_sessionize": """
@@ -888,6 +930,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5
         """,
         "caption_pairs": f"SELECT id_a, id_b, via FROM read_parquet('{img300}/caption_pairs.parquet')",
+        "caption_substring_sa": f"SELECT DISTINCT id_a, id_b FROM read_parquet('{img300}/caption_pairs.parquet') WHERE via = 'substring'",
         # full SQL twin over the corpus parquet itself (not a fixture):
         # the Spark query materializes the corpus first via ensure_corpus
         "phash_dup_pairs": f"""

@@ -103,6 +103,7 @@ def main() -> None:
         timings[name] = round(min(laps), 3)
 
     png_mixed = _bench_png_mixed_filters()
+    lsh_paths = _bench_lsh_bucket_paths(spark)
 
     result = {
         "metric": "bench_total",
@@ -118,6 +119,10 @@ def main() -> None:
         # (covered by img_dedup_e2e), so the Sub/Up/Average/Paeth
         # unfilter tiers get their own single-core throughput probe
         "png_mixed_filter_decode": png_mixed,
+        # explode vs Arrow-matmul hyperplane bucketing at high dim (the
+        # explode stays as the SQL-oracle formulation; the matmul path
+        # is the scale path — this records the gap that justifies it)
+        "lsh_bucket_paths": lsh_paths,
     }
     spark.stop()
 
@@ -161,6 +166,45 @@ def _bench_png_mixed_filters() -> dict:
         "ms_per_image": round(dt / len(imgs) * 1000, 2),
         "images_per_sec_1core": round(len(imgs) / dt, 1),
     }
+
+
+def _bench_lsh_bucket_paths(spark) -> dict:
+    """Hyperplane LSH bucketing, explode formulation vs Arrow-matmul
+    fast path, on synthetic 512-dim embeddings (the driver table is
+    64-dim; the gap grows linearly with dim)."""
+    from pyspark.sql import functions as F
+
+    from mnemophonix_spark.operators import similarity as sim
+
+    n, dim = 8000, 512
+    emb = (
+        spark.range(n)
+        .withColumnRenamed("id", "vec_id")
+        .withColumn(
+            "embedding",
+            F.expr(
+                f"transform(sequence(0, {dim - 1}),"
+                " d -> cast(sin(vec_id * 31 + d) as float))"
+            ),
+        )
+        .persist()
+    )
+    emb.count()
+    out = {"rows": n, "dim": dim}
+    for label, fn in (
+        ("explode_sec", sim.hyperplane_lsh_buckets),
+        ("matmul_sec", sim.hyperplane_lsh_buckets_fast),
+    ):
+        fn(emb).count()  # warm-up
+        laps = []
+        for _ in range(2):
+            t0 = time.time()
+            fn(emb).count()
+            laps.append(time.time() - t0)
+        out[label] = round(min(laps), 3)
+    out["speedup"] = round(out["explode_sec"] / out["matmul_sec"], 2)
+    emb.unpersist()
+    return out
 
 
 def run_scaling(corpus_dir: str, n_rows: int, repeats: int | None = None) -> dict:

@@ -163,6 +163,176 @@ def caption_substring_pairs(corpus: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def _suffix_array(text: str):
+    """Suffix array by prefix doubling, vectorized in NumPy:
+    O(n log^2 n), no per-character Python.  Returns int32[n] of suffix
+    start offsets in lexicographic order."""
+    import numpy as np
+
+    a = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+    n = a.size
+    rank = np.unique(a, return_inverse=True)[1].astype(np.int64)
+    sa = np.argsort(rank, kind="stable")
+    k = 1
+    while k < n:
+        second = np.full(n, -1, dtype=np.int64)
+        second[: n - k] = rank[k:]
+        order = np.lexsort((second, rank))
+        key_prev = (rank[order], second[order])
+        new_rank = np.empty(n, dtype=np.int64)
+        changed = np.ones(n, dtype=bool)
+        changed[1:] = (key_prev[0][1:] != key_prev[0][:-1]) | (
+            key_prev[1][1:] != key_prev[1][:-1]
+        )
+        new_rank[order] = np.cumsum(changed) - 1
+        rank = new_rank
+        sa = order
+        if rank[order[-1]] == n - 1:  # all ranks distinct: done
+            break
+        k *= 2
+    return sa.astype(np.int64), a
+
+
+def _sa_find_range(text_bytes, sa, pattern: bytes):
+    """Binary search the suffix array for the [lo, hi) block of
+    suffixes starting with ``pattern`` (O(|p| log n) byte compares)."""
+    import numpy as np
+
+    p = np.frombuffer(pattern, dtype=np.uint8)
+    m = p.size
+
+    def cmp_at(idx):
+        s = text_bytes[sa[idx] : sa[idx] + m]
+        if s.size < m:
+            padded = np.zeros(m, dtype=np.uint8)
+            padded[: s.size] = s
+            s2 = padded
+        else:
+            s2 = s
+        c = np.sign(int.from_bytes(s2.tobytes(), "big") - int.from_bytes(p.tobytes(), "big"))
+        return c
+
+    lo, hi = 0, sa.size
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if cmp_at(mid) < 0:
+            lo = mid + 1
+        else:
+            hi = mid
+    start = lo
+    lo, hi = start, sa.size
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if cmp_at(mid) <= 0:
+            lo = mid + 1
+        else:
+            hi = mid
+    return start, lo
+
+
+def caption_substring_pairs_sa(corpus: DataFrame, k: int = 5) -> DataFrame:
+    """Suffix-array variant of the substring pass (north_rule names the
+    technique): same q-gram blocking bounds the candidate groups, then
+    each group builds ONE generalized suffix array over its container
+    captions and binary-searches each containee — O(G log G + P·|p|·log G)
+    per group instead of per-pair ``contains`` scans.
+
+    Semantics are identical to ``caption_substring_pairs`` (word-aligned
+    strict containment, canonical pair order + contained_id); pinned by
+    a pytest equality check.  Runs via applyInPandas grouped on the
+    block key, so group state never leaves an executor.
+    """
+    import pandas as pd  # noqa: F401
+
+    norm = _normalized(corpus)
+    words = norm.select("id", "cap", F.split("cap", " ").alias("w"))
+    containee = words.select(
+        F.col("id").alias("id_s"),
+        F.col("cap").alias("cap_s"),
+        F.when(
+            F.size("w") >= k, F.concat_ws(" ", F.slice("w", 1, k))
+        ).otherwise(F.col("cap")).alias("key"),
+        F.lit(1).alias("is_containee"),
+        F.lit(None).cast("string").alias("cap_l"),
+    )
+    container = (
+        words.select(
+            F.col("id").alias("id_s"),
+            F.lit(None).cast("string").alias("cap_s"),
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.least(F.size("w"), F.lit(k))),
+                        lambda L: F.transform(
+                            F.sequence(F.lit(1), F.size("w") - L + 1),
+                            lambda i: F.concat_ws(" ", F.slice("w", i, L)),
+                        ),
+                    )
+                )
+            ).alias("key"),
+            F.lit(0).alias("is_containee"),
+            F.col("cap").alias("cap_l"),
+        )
+        .dropDuplicates(["id_s", "key"])
+        # only keys some containee actually blocks on can produce pairs:
+        # the semi join prunes the (dominant) container-only groups
+        # before any Python group function runs
+        .join(containee.select("key").distinct(), "key", "left_semi")
+    )
+    both = containee.unionByName(container)
+
+    def find_in_group(pdf):
+        import numpy as np
+        import pandas as pd
+
+        conts = pdf[pdf["is_containee"] == 0]
+        tees = pdf[pdf["is_containee"] == 1]
+        if conts.empty or tees.empty:
+            return pd.DataFrame(columns=["id_a", "id_b", "contained_id"])
+        # generalized text: " cap \x00 cap \x00 ..." so word-aligned
+        # patterns " s " match without crossing caption boundaries
+        caps = conts["cap_l"].tolist()
+        ids = conts["id_s"].tolist()
+        parts = [f" {c} " for c in caps]
+        text = "\x00".join(parts) + "\x00"
+        starts = np.cumsum([0] + [len(p.encode()) + 1 for p in parts])[:-1]
+        ends = starts + np.array([len(p.encode()) for p in parts])
+        sa, tb = _suffix_array(text)
+        rows = []
+        for _, r in tees.iterrows():
+            pat = f" {r['cap_s']} ".encode()
+            lo, hi = _sa_find_range(tb, sa, pat)
+            if lo >= hi:
+                continue
+            # map each hit offset to its container caption
+            hit_offsets = np.sort(sa[lo:hi])
+            owners = np.searchsorted(starts, hit_offsets, side="right") - 1
+            for o in np.unique(owners):
+                # the match must lie inside the owner's span
+                span_ok = (
+                    (hit_offsets[owners == o] + len(pat)) <= ends[o] + 1
+                ).any()
+                if not span_ok:
+                    continue
+                id_l, cap_l = ids[o], caps[o]
+                if id_l != r["id_s"] and len(r["cap_s"]) < len(cap_l):
+                    rows.append(
+                        (
+                            min(r["id_s"], id_l),
+                            max(r["id_s"], id_l),
+                            r["id_s"],
+                        )
+                    )
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "contained_id"])
+
+    out_schema = "id_a string, id_b string, contained_id string"
+    return (
+        both.groupBy("key")
+        .applyInPandas(find_in_group, out_schema)
+        .distinct()
+    )
+
+
 def caption_pairs(corpus: DataFrame) -> DataFrame:
     """Union of the three passes: (id_a, id_b, via)."""
     exact = caption_exact_pairs(corpus).withColumn("via", F.lit("exact"))

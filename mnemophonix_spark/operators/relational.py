@@ -205,6 +205,14 @@ def asof_join_events(events: DataFrame,
     a single hash shuffle on the join key + a per-key sort — linear at
     100 TB, whereas a range self-join is quadratic in events-per-user
     and an inequality join can't hash-partition at all.
+
+    Tie semantics: among multiple right events at the same
+    (user_id, ts), the window order on r_event_id makes last() carry
+    the MAX event_id — deterministic here, whereas SQL ASOF JOIN
+    leaves that choice unspecified, so the oracle pre-deduplicates its
+    right side to max(event_id) per (user_id, ts) to pin the same
+    semantics (no extra shuffle on this side: the dedup lives in the
+    oracle only).
     """
     left = (
         events.filter(F.col("event_type") == left_type)

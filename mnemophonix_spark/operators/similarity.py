@@ -172,6 +172,67 @@ def hyperplane_lsh_buckets(
     )
 
 
+def _plane_matrix(n_planes: int, dim: int, seed: int):
+    """Deterministic hyperplane weights [dim, n_planes]: plane p's
+    weight for dimension d is (first md5 nibble of "seed:p:d") - 7.5 —
+    byte-identical to the column-expression formulation so both paths
+    produce the same buckets."""
+    import hashlib
+
+    import numpy as np
+
+    w = np.empty((dim, n_planes), dtype=np.float64)
+    for p in range(n_planes):
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()
+            w[d, p] = int(h[0], 16) - 7.5
+    return w
+
+
+def hyperplane_lsh_buckets_fast(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 1234,
+    dim: int | None = None,
+) -> DataFrame:
+    """Vectorized twin of ``hyperplane_lsh_buckets``: same (id, bucket)
+    output, computed as one Arrow-batched matmul instead of the
+    id×dim×plane explode.
+
+    The explode formulation shuffles dim*n_planes rows per vector
+    (768-dim × 8 planes = 6k rows/vector) — fine for SQL-oracle parity,
+    wrong at corpus scale.  Here the plane matrix is built once per
+    executor from the same md5 arithmetic and each batch does
+    [batch, dim] @ [dim, n_planes] — zero shuffle before the final
+    (id, bucket) result, ~dim× less data movement.  Kept alongside the
+    explode version, which remains the driver-oracle formulation;
+    parity is pinned by a pytest on the sf0.01 embeddings.
+    """
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.LongType())
+    def bucket_udf(vecs):
+        import numpy as np
+        import pandas as pd
+
+        if not len(vecs):
+            return pd.Series([], dtype="int64")
+        d = dim if dim is not None else len(vecs.iloc[0])
+        w = _plane_matrix(n_planes, d, seed)
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = ((x @ w) > 0).astype(np.int64)
+        powers = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series(bits @ powers)
+
+    return embeddings.select(
+        F.col(id_col).alias("id"), bucket_udf(F.col(vec_col)).alias("bucket")
+    )
+
+
 def lsh_ann_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -117,6 +117,78 @@ def windowed_match_counts(
     )
 
 
+def stream_sliding_window_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Structured-Streaming SLIDING-window rollup run to completion:
+    every event lands in window/slide = 2 overlapping windows (the ring
+    buffer overlap of MicRecorder.mm:16-21 expressed as event-time
+    windows), counted per (window_start, event_type).
+
+    availableNow + complete mode makes the final state equal the batch
+    sliding-window aggregation, which is exactly SQL-expressible: event
+    ts belongs to the windows starting at floor(ts/slide)*slide - j*slide
+    for j in 0..(window/slide - 1), so the DuckDB twin unnests j and
+    groups — giving the sliding-window streaming operator a value-exact
+    oracle.  (The watermark participates in the query; eviction
+    semantics are pinned by the append-mode pytest, since complete mode
+    must retain all state.)
+    """
+    import uuid
+
+    name = f"stream_slide_{uuid.uuid4().hex[:12]}"
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props map<string,string>"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(20,4)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError(
+                "stream_sliding_window_rollup: availableNow run did not "
+                "finish in 300 s"
+            )
+        result = (
+            spark.table(name)
+            .select(
+                F.col("win.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+            .cache()
+        )
+        result.count()
+        return result
+    finally:
+        q.stop()
+        spark.catalog.dropTempView(name)
+
+
 def stream_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming twin of the batch hourly rollup, run to
     completion: file-source stream over the events table -> grouped

@@ -79,3 +79,64 @@ def test_substring_short_caption_fallback(spark):
            captions.caption_substring_pairs(df, k=5).collect()}
     assert ("a", "b") in got
     assert not any("c" in p for p in got)
+
+
+def test_suffix_array_construction():
+    """The NumPy prefix-doubling suffix array must equal the naive
+    sorted-suffixes construction."""
+    from mnemophonix_spark.operators.captions import _suffix_array
+
+    for text in ("banana\x00", "abracadabra \x00x", " a b a b \x00 a b ",
+                 "zzzz", "a"):
+        sa, _tb = _suffix_array(text)
+        b = text.encode()
+        naive = sorted(range(len(b)), key=lambda i: b[i:])
+        assert sa.tolist() == naive, text
+
+
+def test_substring_sa_matches_blocking_variant(spark, corpus_df):
+    """The suffix-array pass must produce exactly the q-gram blocking
+    pass's pairs on the 300-row corpus (identical semantics)."""
+    from mnemophonix_spark.operators import captions as cap
+
+    base = {
+        (r["id_a"], r["id_b"], r["contained_id"])
+        for r in cap.caption_substring_pairs(corpus_df).collect()
+    }
+    sa = {
+        (r["id_a"], r["id_b"], r["contained_id"])
+        for r in cap.caption_substring_pairs_sa(corpus_df).collect()
+    }
+    assert sa == base
+    assert base, "corpus must plant at least one substring pair"
+
+
+def test_substring_sa_handcrafted(spark):
+    """Hand-built corner cases: word-aligned only, strict containment,
+    short-caption whole-key block, no self pairs."""
+    from mnemophonix_spark.operators import captions as cap
+
+    rows = [
+        ("a", "the quick brown fox jumps over the lazy dog"),
+        ("b", "quick brown fox jumps over"),   # 5-word containee
+        ("c", "brown fox"),                    # short containee (<k words)
+        ("d", "xxxbrown fox"),                 # NOT word-aligned container of c
+        ("e", "the quick brown fox jumps over the lazy dog"),  # equal to a: not strict
+        ("f", "unrelated caption entirely"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, caption string")
+    got = {
+        (r["id_a"], r["id_b"], r["contained_id"])
+        for r in cap.caption_substring_pairs_sa(df).collect()
+    }
+    expected_blocking = {
+        (r["id_a"], r["id_b"], r["contained_id"])
+        for r in cap.caption_substring_pairs(df).collect()
+    }
+    assert got == expected_blocking
+    assert ("a", "b", "b") in got
+    assert ("b", "e", "b") in got
+    assert ("a", "c", "c") in got and ("c", "e", "c") in got
+    assert ("b", "c", "c") in got
+    assert not any("d" in p[:2] and p[2] == "c" for p in got)  # not aligned
+    assert not any(p[0] == "a" and p[1] == "e" for p in got)   # equal: not strict

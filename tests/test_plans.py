@@ -36,6 +36,35 @@ def test_pair_joins_are_broadcast(spark, corpus_dir):
     assert facts.broadcast_joins >= 4  # 2 score joins + 2 phash + 2 payload
 
 
+def test_score_udf_not_cloned_by_pushdown(spark, corpus_dir):
+    """score_pairs marks its pandas UDF asNondeterministic purely to
+    stop Catalyst from pushing the min_score filter below the
+    projection, which would clone the UDF into TWO ArrowEvalPython
+    stages (score computed twice — measured regression in round 1).
+    That is an optimizer-behavior dependency, so pin it: exactly one
+    ArrowEvalPython node must appear in the scored plan.  If a Spark
+    upgrade re-clones the UDF, this fails and the barrier needs a
+    different mechanism (e.g. localCheckpoint)."""
+    from mnemophonix_spark import pipeline
+    from mnemophonix_spark.operators import lsh
+    from mnemophonix_spark.operators.fingerprint import fingerprint, valid_signatures
+
+    corpus = pipeline.load_corpus(spark, corpus_dir)
+    valid = valid_signatures(fingerprint(corpus))
+    import re
+
+    scored = lsh.score_pairs(lsh.candidate_pairs(lsh.explode_bands(valid)), valid)
+    scored.collect()  # AQE: the physical plan is final only after execution
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    # count DISTINCT sig_score evaluation expr-ids: reused exchanges
+    # reprint the same node (same id), while pushdown-cloning creates a
+    # second evaluation with a new id — exactly what must not happen
+    ids = set(re.findall(r"sig_score\([^)]*\)#(\d+)", final))
+    assert "ArrowEvalPython" in final
+    assert len(ids) == 1, final
+
+
 def test_scan_column_pruning(spark, corpus_dir):
     """The phash-gate scan must not read image bytes; the fingerprint
     scan must not read w/h."""

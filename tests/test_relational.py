@@ -52,6 +52,24 @@ def test_asof_join_semantics(tiny_events):
     assert out[202] == (201, _ts(4))   # later click ignored for earlier purchase
 
 
+def test_asof_join_duplicate_right_ts_tiebreak(spark):
+    """Two right events at the SAME (user_id, ts): the operator must
+    deterministically carry max(event_id) — the semantics the oracle
+    pins by pre-deduplicating its ASOF right side."""
+    rows = [
+        (500, _ts(2), 9, "click", 1.0),
+        (501, _ts(2), 9, "click", 1.0),   # duplicate ts, higher id
+        (499, _ts(2), 9, "click", 1.0),   # duplicate ts, lower id
+        (502, _ts(4), 9, "purchase", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r["event_id"]: r["asof_event_id"]
+           for r in relational.asof_join_events(df).collect()}
+    assert out == {502: 501}
+
+
 def test_asof_join_single_shuffle(tiny_events):
     """The union+window implementation must cost exactly one hash
     exchange on the join key — that is its whole point at 100 TB."""

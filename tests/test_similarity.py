@@ -44,6 +44,29 @@ def test_single_wide_table_is_worse(emb, queries):
     assert sim.ann_recall(exact, wide) < sim.ann_recall(exact, multi)
 
 
+def test_fast_bucket_path_matches_explode(emb):
+    """The Arrow-matmul bucket path must produce byte-identical buckets
+    to the explode/SQL-parity formulation (same md5-derived planes)."""
+    slow = {r["id"]: r["bucket"] for r in sim.hyperplane_lsh_buckets(emb).collect()}
+    fast = {
+        r["id"]: r["bucket"] for r in sim.hyperplane_lsh_buckets_fast(emb).collect()
+    }
+    assert fast == slow
+
+
+def test_fast_bucket_path_no_shuffle(emb):
+    """The fast path's physical plan must contain no Exchange before
+    the result — the whole point of replacing the explode."""
+    plan = (
+        sim.hyperplane_lsh_buckets_fast(emb)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+
+
 def test_ann_scores_match_exact_for_hits(emb, queries):
     """For pairs the ANN does surface, cos_sim must equal the exact
     scorer's value bit-for-bit (same double math, same rounding)."""
