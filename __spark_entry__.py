@@ -103,6 +103,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(spark, sf, "lineitem"),
         )
 
+    def q_promo_brand(spark, sf):
+        return relational.promo_revenue_by_brand(
+            _read(spark, sf, "lineitem"), _read(spark, sf, "part")
+        )
+
+    def q_running_totals(spark, sf):
+        return relational.order_running_totals(_read(spark, sf, "lineitem"))
+
+    def q_parts_above_avg(spark, sf):
+        return relational.parts_above_brand_avg(_read(spark, sf, "part"))
+
     def q_customers_no_orders(spark, sf):
         return relational.customers_without_orders(
             _read(spark, sf, "customer"), _read(spark, sf, "orders")
@@ -326,6 +337,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": q_events_rollup,
         "user_sessionize": q_sessionize,
         "regional_revenue": q_regional_revenue,
+        "promo_revenue_by_brand": q_promo_brand,
+        "order_running_totals": q_running_totals,
+        "parts_above_brand_avg": q_parts_above_avg,
         "customers_without_orders": q_customers_no_orders,
         "suppliers_with_returns": q_suppliers_returns,
         "sales_rollup": q_sales_rollup,
@@ -519,6 +533,54 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name, n_name
+        """,
+        "promo_revenue_by_brand": """
+            SELECT p_brand,
+                   round(CAST(sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(CAST(l_extendedprice AS DECIMAL(20,4))
+                            * (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4)))
+                            AS DECIMAL(20,4))
+                       ELSE CAST(0 AS DECIMAL(20,4)) END) AS DOUBLE), 6) AS promo_revenue,
+                   round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(20,4))
+                       * (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4)))
+                       AS DECIMAL(20,4))) AS DOUBLE), 6) AS total_revenue,
+                   round((CAST(sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(CAST(l_extendedprice AS DECIMAL(20,4))
+                            * (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4)))
+                            AS DECIMAL(20,4))
+                       ELSE CAST(0 AS DECIMAL(20,4)) END) AS DOUBLE)
+                       / CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(20,4))
+                       * (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4)))
+                       AS DECIMAL(20,4))) AS DOUBLE)) * 100.0, 6) AS promo_pct,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        """,
+        "order_running_totals": """
+            SELECT l_orderkey, l_linenumber,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(20,4)))
+                       OVER w AS DOUBLE), 6) AS running_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4)))
+                       OVER w AS DOUBLE), 6) AS running_price,
+                   count(*) OVER w AS n_lines_so_far
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_orderkey
+                         ORDER BY l_linenumber, l_partkey, l_suppkey,
+                                  l_quantity, l_extendedprice, l_discount,
+                                  l_tax, l_shipdate
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "parts_above_brand_avg": """
+            SELECT p_partkey, p_brand,
+                   round(CAST(p_retailprice AS DOUBLE), 6) AS retail, brand_avg
+            FROM (
+              SELECT p_partkey, p_brand, p_retailprice,
+                     round(CAST(sum(CAST(p_retailprice AS DECIMAL(20,4)))
+                           OVER (PARTITION BY p_brand) AS DOUBLE)
+                           / count(*) OVER (PARTITION BY p_brand), 6) AS brand_avg
+              FROM part
+            )
+            WHERE p_retailprice > brand_avg
         """,
         "customers_without_orders": """
             SELECT c_custkey, c_name, c_mktsegment

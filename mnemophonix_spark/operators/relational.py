@@ -116,6 +116,36 @@ def regional_revenue(region: DataFrame, nation: DataFrame,
     )
 
 
+def promo_revenue_by_brand(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14 shape per brand: conditional aggregation over a
+    broadcast dimension join — promo share of discounted revenue.
+
+    part is a dimension at any SF (1/30 of lineitem rows, few bytes):
+    broadcast it so the fact scan streams once with no shuffle; the
+    groupBy exchanges only 25 partial rows per task.  Output uses the
+    round-6 double rule for the decimal sums and the ratio.
+    """
+    dec = lambda c: F.col(c).cast("decimal(20,4)")  # noqa: E731
+    disc = (
+        dec("l_extendedprice") * (F.lit(1).cast("decimal(20,4)") - dec("l_discount"))
+    ).cast("decimal(20,4)")
+    joined = lineitem.join(
+        F.broadcast(part), lineitem.l_partkey == part.p_partkey
+    )
+    promo_sum = F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(
+        F.lit(0).cast("decimal(20,4)")
+    ))
+    total_sum = F.sum(disc)
+    return joined.groupBy("p_brand").agg(
+        _outd(promo_sum).alias("promo_revenue"),
+        _outd(total_sum).alias("total_revenue"),
+        F.round(
+            (promo_sum.cast("double") / total_sum.cast("double")) * 100.0, 6
+        ).alias("promo_pct"),
+        F.count("*").alias("n_items"),
+    )
+
+
 def customers_without_orders(customer: DataFrame, orders: DataFrame,
                              priority: str = "1-URGENT") -> DataFrame:
     """Left ANTI join (TPC-H Q22 shape): customers with no order of the
@@ -255,6 +285,68 @@ def asof_join_events(events: DataFrame,
             "ts",
             "asof_event_id",
             "asof_ts",
+        )
+    )
+
+
+def order_running_totals(lineitem: DataFrame) -> DataFrame:
+    """Running (cumulative) aggregate per order: for each line of an
+    order in linenumber sequence, the cumulative quantity and revenue
+    so far.  The window frame (unbounded preceding .. current row) is
+    the canonical running-total shape — one hash shuffle on the
+    partition key + a per-key sort, linear at 100 TB.  Output numeric
+    rule: decimal accumulation, round-6 double emission.
+
+    The sort key is the FULL value tuple, not just l_linenumber: this
+    table's (orderkey, linenumber) is not unique, and a running total
+    over a tied sort is engine-order-nondeterministic.  With all value
+    columns in the key, rows that still tie are identical, so their
+    mutual order cannot change any output.
+    """
+    dec = lambda c: F.col(c).cast("decimal(20,4)")  # noqa: E731
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy(
+            "l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_shipdate",
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        _outd(F.sum(dec("l_quantity")).over(w)).alias("running_qty"),
+        _outd(F.sum(dec("l_extendedprice")).over(w)).alias("running_price"),
+        F.count("*").over(w).alias("n_lines_so_far"),
+    )
+
+
+def parts_above_brand_avg(part: DataFrame) -> DataFrame:
+    """Correlated-subquery shape: parts priced above their brand's
+    average retail price.  Spark plans the correlated scalar subquery
+    as an aggregate + broadcast join (the de-correlation rewrite) —
+    exercised here via the equivalent explicit window formulation,
+    which shares one shuffle for the average and the filter.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("p_brand")
+    # avg as exact decimal sum / count, emitted round-6 double: a plain
+    # double avg would accumulate in engine-specific order and can
+    # round differently in the 6th decimal
+    avg_price = (
+        F.sum(F.col("p_retailprice").cast("decimal(20,4)")).over(w).cast("double")
+        / F.count("*").over(w)
+    )
+    return (
+        part.withColumn("brand_avg", F.round(avg_price, 6))
+        .filter(F.col("p_retailprice") > F.col("brand_avg"))
+        .select(
+            "p_partkey", "p_brand",
+            F.round(F.col("p_retailprice").cast("double"), 6).alias("retail"),
+            "brand_avg",
         )
     )
 
