@@ -195,6 +195,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _read(spark, sf, "embeddings")
         return similarity.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 8))
 
+    def q_ivf_ann(spark, sf):
+        emb = _read(spark, sf, "embeddings")
+        return similarity.ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 8))
+
     # --- image chain (synthetic corpus; oracle = NumPy fixtures) ----------
     def q_img_signature_digest(spark, sf):
         from mnemophonix_spark.operators.fingerprint import fingerprint
@@ -363,6 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_topk,
         "emb_lsh_buckets": q_emb_lsh,
         "emb_lsh_ann_topk": q_emb_lsh_ann,
+        "ivf_ann_topk": q_ivf_ann,
         "img_signature_digest": q_img_signature_digest,
         "img_scored_pairs": q_img_scored_pairs,
         "img_verified_pairs": q_img_verified_pairs,
@@ -967,6 +972,67 @@ def oracle_sql() -> dict[str, str]:
               FROM buckets q JOIN buckets n
                 ON q.tbl = n.tbl AND q.bucket = n.bucket
               WHERE q.id < 8 AND n.id != q.id
+            ),
+            elems AS (
+              SELECT c.query_id, c.neighbor_id,
+                     unnest(a.embedding) AS qx, unnest(b.embedding) AS ex
+              FROM cand c
+              JOIN embeddings a ON a.vec_id = c.query_id
+              JOIN embeddings b ON b.vec_id = c.neighbor_id
+            ),
+            s AS (
+              SELECT query_id, neighbor_id,
+                     sum(CAST(qx AS DOUBLE) * CAST(ex AS DOUBLE)) AS dot,
+                     sqrt(sum(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE))) AS nq,
+                     sqrt(sum(CAST(ex AS DOUBLE) * CAST(ex AS DOUBLE))) AS ne
+              FROM elems GROUP BY query_id, neighbor_id
+            ),
+            r AS (
+              SELECT query_id, neighbor_id, round(dot / (nq * ne), 6) AS cos_sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY round(dot / (nq * ne), 6) DESC, neighbor_id)
+                       AS rank
+              FROM s
+            )
+            SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5
+        """,
+        # IVF-flat ANN: training-free coarse quantizer (centroids = the
+        # 16 lowest-id vectors) keeps the whole inverted-file index
+        # deterministic and SQL-expressible; probes reuse the same
+        # assignment ranking since the query set is a subset of the
+        # corpus
+        "ivf_ann_topk": """
+            WITH cents AS (
+              SELECT vec_id AS cent_id, embedding AS cvec
+              FROM embeddings WHERE vec_id < 16
+            ),
+            a_elems AS (
+              SELECT e.vec_id AS id, c.cent_id,
+                     unnest(e.embedding) AS x, unnest(c.cvec) AS cx
+              FROM embeddings e CROSS JOIN cents c
+            ),
+            a_s AS (
+              SELECT id, cent_id,
+                     sum(CAST(x AS DOUBLE) * CAST(cx AS DOUBLE)) AS dot,
+                     sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nv,
+                     sqrt(sum(CAST(cx AS DOUBLE) * CAST(cx AS DOUBLE))) AS nc
+              FROM a_elems GROUP BY id, cent_id
+            ),
+            a_r AS (
+              SELECT id, cent_id,
+                     row_number() OVER (PARTITION BY id
+                        ORDER BY round(dot / (nv * nc), 6) DESC, cent_id) AS rk
+              FROM a_s
+            ),
+            assign AS (SELECT id, cent_id AS cell FROM a_r WHERE rk = 1),
+            probes AS (
+              SELECT id AS query_id, cent_id AS cell
+              FROM a_r WHERE rk <= 4 AND id < 8
+            ),
+            cand AS (
+              SELECT DISTINCT p.query_id, a.id AS neighbor_id
+              FROM probes p JOIN assign a ON p.cell = a.cell
+              WHERE a.id != p.query_id
             ),
             elems AS (
               SELECT c.query_id, c.neighbor_id,

@@ -92,6 +92,11 @@ BROADCAST_MAX_BYTES = int(
     os.environ.get("SPARK_GRAFT_BROADCAST_MAX_BYTES", str(64 << 20))
 )
 
+# --- shingle-explode fan-out rebalance (dedup_text._fanout_rebalance) ------
+# "auto": repartition to default parallelism when the scan's file index
+#         is narrower than the core count; "always" / "off" override.
+FANOUT_REBALANCE = os.environ.get("SPARK_GRAFT_FANOUT_REBALANCE", "auto")
+
 # --- Spark session defaults ------------------------------------------------
 SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
 ARROW_BATCH_ROWS = 256      # images are heavy; keep Arrow batches modest

@@ -20,7 +20,6 @@ Stage-by-stage reference citations (gurushida/mnemophonix):
 from __future__ import annotations
 
 from functools import lru_cache
-from pathlib import Path
 
 import numpy as np
 
@@ -31,9 +30,22 @@ _SQRT2 = np.float64(np.sqrt(2.0))  # haar.c uses M_SQRT2 (double) on float data
 
 @lru_cache(maxsize=1)
 def load_permutations() -> np.ndarray:
-    """Frozen permutation table uint16[100,255] (permutations.c:7-1809)."""
-    path = Path(__file__).resolve().parent.parent / "data" / "permutations.npy"
-    table = np.load(path)
+    """Frozen permutation table uint16[100,255] (permutations.c:7-1809).
+
+    Loaded through importlib.resources, NOT a __file__-relative path:
+    under ``spark-submit --py-files pkg.zip`` executors import the
+    package from inside the zip, where a filesystem path does not
+    exist but the zipimport loader's resource reader does.
+    """
+    import io
+    from importlib import resources
+
+    data = (
+        resources.files("mnemophonix_spark")
+        .joinpath("data/permutations.npy")
+        .read_bytes()
+    )
+    table = np.load(io.BytesIO(data))
     assert table.shape == (C.N_PERMUTATIONS, C.PERMUTATION_LENGTH)
     return table
 

@@ -41,9 +41,25 @@ def _fanout_rebalance(df: DataFrame) -> DataFrame:
     pre-explode rows is nearly free (docs are small), so rebalance
     whenever the scan is narrower than the default parallelism.  At
     real scale the scan has thousands of splits and this is a no-op.
+
+    The width probe uses the scan's FILE INDEX (``inputFiles``), not
+    ``df.rdd`` — converting to an RDD forces plan analysis on the
+    driver for every call.  Non-file frames (in-memory test data)
+    return no files and are left alone: they already inherit the
+    default parallelism.  ``config.FANOUT_REBALANCE`` can force
+    ("always") or disable ("off") the behavior.
     """
+    mode = C.FANOUT_REBALANCE
+    if mode == "off":
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if mode == "always":
+        return df.repartition(target)
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 

@@ -68,6 +68,7 @@ def verify_pairs(
     corpus: DataFrame,
     psnr_min: float = C.PSNR_MIN_DB,
     phash_max_hamming: int = C.PHASH_MAX_HAMMING,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """scored pairs + corpus -> verified pairs.
 
@@ -78,16 +79,22 @@ def verify_pairs(
     # the scored-pair side is usually tiny relative to the corpus:
     # broadcast it through both joins so the corpus streams once with
     # no shuffle — size-aware (config.PAIR_BROADCAST_MODE): ONE
-    # decision from the scored estimate (exact when the stage is
-    # materialized/committed) governs the narrow pair frames, since
-    # every later frame here is row-bounded by scored; pathological
-    # pair sets fall back to shuffle joins AQE can re-plan
-    bc = F.broadcast if broadcast_decision(scored) else (lambda df: df)
+    # decision governs the narrow pair frames, since every later frame
+    # here is row-bounded by scored.  The pipeline passes the decision
+    # from the materialized candidates stage's EXACT stats (pairs only
+    # shrink downstream), avoiding a scored-count job barrier;
+    # standalone use estimates from scored itself.  Pathological pair
+    # sets fall back to shuffle joins AQE can re-plan.
+    if broadcast is None:
+        broadcast = broadcast_decision(scored)
+    bc = F.broadcast if broadcast else (lambda df: df)
     # the payload frame carries image bytes (orders of magnitude wider
-    # than a pair row): give it a proportionally tighter byte budget
+    # than a pair row): require BOTH the pair decision and a tighter
+    # plan-estimate budget before letting bytes ride a broadcast
     bc_payload = (
         F.broadcast
-        if broadcast_decision(scored, limit_bytes=C.BROADCAST_MAX_BYTES // 64)
+        if broadcast
+        and broadcast_decision(scored, limit_bytes=C.BROADCAST_MAX_BYTES // 64)
         else (lambda df: df)
     )
     ph = corpus.select("image_id", "phash")

@@ -63,18 +63,18 @@ def run_dedup(
             # the parallel broadcast-exchange jobs of those joins race
             # to compute the same un-cached mapInArrow chain several
             # times over (~2x end-to-end wall time measured at 20k
-            # rows).  `candidates`/`scored` because the size-aware
-            # broadcast decision (lsh.broadcast_decision) reads their
-            # plan-time stats: materialized caches report EXACT bytes,
-            # so a pathological pair blow-up is visible before the
-            # broadcast is chosen — and both frames are pair-sized, so
-            # the extra job barrier is negligible (measured within VM
-            # noise of the lazy variant at 20k rows).  Later wide
-            # stages stay lazy: forcing them adds serial barriers
-            # measured as ~2/3 of the pipeline's Amdahl serial term at
-            # 100k rows (0.75 vs 0.84 scaling efficiency at 2->8 cores)
+            # rows).  `candidates` because the size-aware broadcast
+            # decision (lsh.broadcast_decision) reads its plan-time
+            # stats: the materialized cache reports EXACT bytes, so a
+            # pathological pair blow-up is visible before any broadcast
+            # is chosen; the SAME decision is passed down to score and
+            # verify (pairs only shrink downstream), so no further
+            # count barriers are needed.  Later wide stages stay lazy:
+            # forcing them adds serial barriers measured as ~2/3 of the
+            # pipeline's Amdahl serial term at 100k rows (0.75 vs 0.84
+            # scaling efficiency at 2->8 cores)
             df = build().persist()
-            if name in ("signatures", "candidates", "scored"):
+            if name in ("signatures", "candidates"):
                 df.count()
             return df
         return store.run_stage(name, build, input_fingerprint=fp, log=log)
@@ -83,8 +83,15 @@ def run_dedup(
     valid = valid_signatures(signatures)
     bands = stage("bands", lambda: lsh.explode_bands(valid))
     candidates = stage("candidates", lambda: lsh.candidate_pairs(bands, cap=cap))
-    scored = stage("scored", lambda: lsh.score_pairs(candidates, valid))
-    verified = stage("verified", lambda: ver.verify_pairs(scored, corpus))
+    # one broadcast decision from the materialized candidates stage
+    # (exact cached/parquet stats) governs both pair-join operators
+    pair_bc = lsh.broadcast_decision(candidates)
+    scored = stage(
+        "scored", lambda: lsh.score_pairs(candidates, valid, broadcast=pair_bc)
+    )
+    verified = stage(
+        "verified", lambda: ver.verify_pairs(scored, corpus, broadcast=pair_bc)
+    )
     clusters = stage(
         "clusters",
         lambda: comp.assign_clusters(

@@ -67,6 +67,35 @@ def test_fast_bucket_path_no_shuffle(emb):
     assert "ArrowEvalPython" in plan
 
 
+def test_ivf_ann_recall_and_shape(emb, queries):
+    """IVF-flat (training-free quantizer): every query returns k rows,
+    candidates come only from probed cells, and recall@5 stays useful
+    (n_probe/n_cells = 1/4 of the corpus scanned)."""
+    exact = sim.cosine_topk(emb, queries)
+    approx = sim.ivf_ann_topk(emb, queries)
+    assert approx.count() == exact.count()
+    r = sim.ann_recall(exact, approx)
+    # measured on sf0.01 embeddings; floor leaves regen margin
+    assert r >= 0.4, f"IVF recall collapsed: {r}"
+    # scores must equal the exact scorer's for surfaced pairs
+    ex = {
+        (x["query_id"], x["neighbor_id"]): x["cos_sim"]
+        for x in sim.cosine_topk(emb, queries, k=50).collect()
+    }
+    for x in approx.collect():
+        key = (x["query_id"], x["neighbor_id"])
+        if key in ex:
+            assert x["cos_sim"] == ex[key]
+
+
+def test_ivf_assignment_partitions_corpus(emb):
+    """Every vector lands in exactly one of the 16 cells."""
+    a = sim.ivf_assign(emb).collect()
+    assert len(a) == emb.count()
+    assert len({r["id"] for r in a}) == len(a)
+    assert {r["cell"] for r in a} <= set(range(16))
+
+
 def test_ann_scores_match_exact_for_hits(emb, queries):
     """For pairs the ANN does surface, cos_sim must equal the exact
     scorer's value bit-for-bit (same double math, same rounding)."""
