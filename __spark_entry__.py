@@ -326,6 +326,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lower(F.md5(F.hex(F.col("minhash")))).alias("minhash_md5"),
         )
 
+    def q_fused_clusters(spark, sf):
+        from mnemophonix_spark import corpusgen, pipeline
+
+        corpus_dir = corpusgen.ensure_corpus(CACHE_ROOT, _corpus_rows_for(sf))
+        return pipeline.fused_clusters(spark, corpus_dir)
+
     def q_img_bands(spark, sf):
         from mnemophonix_spark.operators import lsh
         from mnemophonix_spark.operators.fingerprint import (
@@ -372,6 +378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_scored_pairs": q_img_scored_pairs,
         "img_verified_pairs": q_img_verified_pairs,
         "img_clusters": q_img_clusters,
+        "fused_clusters": q_fused_clusters,
         "img_bands": q_img_bands,
         "media_frame_sigs": q_media_frame_sigs,
         "audio_frame_sigs": q_audio_frame_sigs,
@@ -1059,6 +1066,49 @@ def oracle_sql() -> dict[str, str]:
         """,
         "caption_pairs": f"SELECT id_a, id_b, via FROM read_parquet('{img300}/caption_pairs.parquet')",
         "caption_substring_sa": f"SELECT DISTINCT id_a, id_b FROM read_parquet('{img300}/caption_pairs.parquet') WHERE via = 'substring'",
+        # fused multi-channel clusters: recursive reachability closure
+        # over the UNION of the three channels' pair sets (verified +
+        # caption fixtures; phash recomputed by its full SQL twin) —
+        # an implementation of the fused decision fully independent of
+        # the Spark components operator
+        "fused_clusters": f"""
+            WITH RECURSIVE h AS (
+              SELECT image_id AS id, phash AS ph,
+                     lpad(to_hex(phash), 16, '0') AS hx
+              FROM read_parquet('{CACHE_ROOT}/corpus_n300_s42/corpus/part-*.parquet')
+            ),
+            bands AS (
+              SELECT id, ph, substr(hx, b.b * 4 + 1, 4) AS band_key, b.b AS band_id
+              FROM h CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b
+            ),
+            ph_pairs AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+              WHERE a.id < b.id AND bit_count(xor(a.ph, b.ph)) <= 4
+            ),
+            pairs AS (
+              SELECT id_a, id_b FROM read_parquet('{img300}/verified_pairs.parquet')
+              UNION
+              SELECT id_a, id_b FROM ph_pairs
+              UNION
+              SELECT id_a, id_b FROM read_parquet('{img300}/caption_pairs.parquet')
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b AS src, id_a AS dst FROM pairs
+            ),
+            reach AS (
+              SELECT image_id AS node, image_id AS label
+              FROM read_parquet('{CACHE_ROOT}/corpus_n300_s42/corpus/part-*.parquet')
+              UNION
+              SELECT e.dst AS node, r.label AS label
+              FROM reach r JOIN edges e ON e.src = r.node
+            )
+            SELECT node AS image_id, min(label) AS cluster_id
+            FROM reach GROUP BY node
+        """,
         # full SQL twin over the corpus parquet itself (not a fixture):
         # the Spark query materializes the corpus first via ensure_corpus
         "phash_dup_pairs": f"""

@@ -110,6 +110,35 @@ def run_dedup(
     }
 
 
+def fused_clusters(
+    spark: SparkSession, corpus_dir: str, work_dir: str | None = None
+) -> DataFrame:
+    """The engine's end deliverable: ONE cluster assignment fusing all
+    three duplicate channels — signature-chain verified pairs, phash
+    blocking pairs, and caption pairs (exact/SimHash/substring) — via
+    connected components over their union (north_rule: match the
+    reference's cluster assignments, then extend with the caption
+    channel).
+
+    Each channel's pair set is tiny relative to the corpus, so the
+    union adds no meaningful shuffle weight; the components step is the
+    same large-star/small-star used per channel.
+    """
+    from mnemophonix_spark.operators import captions, phash
+
+    stages = run_dedup(spark, corpus_dir, work_dir=work_dir)
+    corpus = stages["corpus"]
+    edges = (
+        stages["verified"].select("id_a", "id_b")
+        .unionByName(phash.phash_dup_pairs(corpus).select("id_a", "id_b"))
+        .unionByName(captions.caption_pairs(corpus).select("id_a", "id_b"))
+        .distinct()
+    )
+    return comp.assign_clusters(
+        corpus.select("image_id"), comp.connected_components(edges)
+    )
+
+
 def pipeline_counters(stages: dict[str, DataFrame]) -> dict[str, int]:
     """Materialize observability counters (one action per counter)."""
     sig = stages["signatures"]

@@ -240,3 +240,21 @@ def test_pipeline_shuffle_join_path_equivalent(spark, corpus_dir, stages):
             alt[name].unpersist()
     assert got_scored == baseline_scored
     assert got_verified == baseline_verified
+
+
+def test_fused_clusters_cover_every_planted_kind(spark, corpus_dir, truth):
+    """The fused multi-channel deliverable: every planted duplicate
+    pair of EVERY kind (image re-encode/lossy/noise/resize + caption
+    dup/substring) must land in one cluster — the phash and caption
+    channels cover exactly the pairs the signature chain can miss."""
+    cl = pipeline.fused_clusters(spark, corpus_dir)
+    assign = {r["image_id"]: r["cluster_id"] for r in cl.collect()}
+    pairs, _ = truth
+    missed = [
+        (p["id_a"], p["id_b"], p["kind"])
+        for p in pairs
+        if assign[p["id_a"]] != assign[p["id_b"]]
+    ]
+    assert not missed, missed[:10]
+    # and clustering is not degenerate (not everything in one blob)
+    assert len(set(assign.values())) > len(assign) // 2
