@@ -258,3 +258,55 @@ def test_fused_clusters_cover_every_planted_kind(spark, corpus_dir, truth):
     assert not missed, missed[:10]
     # and clustering is not degenerate (not everything in one blob)
     assert len(set(assign.values())) > len(assign) // 2
+
+
+def test_mass_duplicate_corpus_shuffle_fallback(spark, tmp_path):
+    """Pathological corpus (every image identical): the candidate set
+    explodes combinatorially, which is exactly the case the size-aware
+    broadcast switch and salt capping exist for.  End-to-end the
+    pipeline must (a) finish, (b) put everything in one cluster,
+    (c) NOT broadcast the huge pair set when it exceeds the budget."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mnemophonix_spark import codecs, config as C
+
+    rng = np.random.default_rng(17)
+    # low-frequency texture: full-res uniform noise averages flat under
+    # the canonical 128x32 resize and trips the silence gate (no
+    # signatures at all) — coarse noise upsampled 8x survives it
+    coarse = rng.uniform(0, 255, size=(12, 12))
+    img = np.round(np.kron(coarse, np.ones((8, 8)))).astype(np.uint8)
+    data = codecs.encode_png(img)
+    phv = 0  # identical rows: any consistent phash works
+    n = 400
+    rows = [
+        {
+            "image_id": f"dup{i:05d}", "bytes": data, "w": 96, "h": 96,
+            "fmt": "png", "caption": f"unique caption {i} th", "phash": phv,
+        }
+        for i in range(n)
+    ]
+    d = tmp_path / "mass" / "corpus"
+    d.mkdir(parents=True)
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "part-0.parquet"))
+
+    old_limit = C.BROADCAST_MAX_BYTES
+    C.BROADCAST_MAX_BYTES = 64 * 1024  # force the pathological branch
+    try:
+        stages = pipeline.run_dedup(spark, str(tmp_path / "mass"))
+        # the candidate stage is materialized: exact stats drive the
+        # decision, which must be False at this budget
+        from mnemophonix_spark.operators import lsh
+
+        assert lsh.broadcast_decision(stages["candidates"]) is False
+        clusters = {r["cluster_id"] for r in stages["clusters"].collect()}
+        assert clusters == {"dup00000"}  # one component, min-id label
+        n_cand = stages["candidates"].count()
+        # salting bounds the blow-up far below C(400,2)=79800 per band
+        assert 0 < n_cand
+    finally:
+        C.BROADCAST_MAX_BYTES = old_limit
+        for name in ("signatures", "bands", "candidates", "scored", "verified"):
+            stages[name].unpersist()
