@@ -117,6 +117,122 @@ def windowed_match_counts(
     )
 
 
+def _minhash_bands_col():
+    """array<long>(25) band hashes computed JVM-side from the 100-byte
+    minhash binary column (lsh.c:49-52: big-endian uint32 per 4 bytes)
+    — no Python round-trip to band an already-computed signature."""
+    return F.array(
+        *[
+            F.conv(F.hex(F.expr(f"substring(minhash, {4 * j + 1}, 4)")), 16, 10)
+            .cast("long")
+            for j in range(C.N_BANDS)
+        ]
+    )
+
+
+def audio_search_batch(
+    query_media: DataFrame, index_sigs: DataFrame
+) -> DataFrame:
+    """One micro-batch of the reference's actual domain: audio entries
+    in, per-entry match decisions out (ears/main.m:101-188 semantics
+    over the real spectral chain).
+
+    Query payloads run the full audio chain (multimodal.
+    audio_entry_signatures); each spectral image becomes one signature,
+    banded JVM-side and probed against the index bands (lsh.c:89-112),
+    >=2-band gate + byte score >= 30 per signature pair
+    (search.c:11-43), then aggregated per (query_entry, index_entry)
+    with the reference accept rule (search.c:19-29).
+
+    ``index_sigs``: (media_id, frame_idx, minhash) — e.g. a previous
+    audio_entry_signatures run, persisted.
+    Output: (query_id, match_id, n_matches, avg_score, accepted).
+    """
+    from mnemophonix_spark.operators import lsh
+    from mnemophonix_spark.operators.multimodal import audio_entry_signatures
+
+    def sig_table(sigs: DataFrame) -> DataFrame:
+        return (
+            sigs.filter(F.col("decode_error").isNull() & ~F.col("is_silence"))
+            .select(
+                F.concat_ws("#", "media_id", "frame_idx").alias("image_id"),
+                "minhash",
+                _minhash_bands_col().alias("bands"),
+            )
+        )
+
+    q_sigs = sig_table(audio_entry_signatures(query_media))
+    i_sigs = sig_table(index_sigs)
+    q_bands = lsh.explode_bands(q_sigs).withColumnRenamed("image_id", "qid")
+    i_bands = lsh.explode_bands(i_sigs).withColumnRenamed("image_id", "iid")
+    cand = (
+        q_bands.join(i_bands, ["band_id", "band_hash"])
+        .groupBy("qid", "iid")
+        .agg(F.count("*").alias("n_shared_bands"))
+        .filter(F.col("n_shared_bands") >= C.MIN_BAND_MATCHES)
+        .select(
+            F.col("qid").alias("id_a"), F.col("iid").alias("id_b"),
+            "n_shared_bands",
+        )
+    )
+    all_sigs = q_sigs.select("image_id", "minhash").unionByName(
+        i_sigs.select("image_id", "minhash")
+    )
+    scored = lsh.score_pairs(cand, all_sigs)
+    # per-entry aggregation + accept decision (search.c:19-29,179-180)
+    by_entry = (
+        scored.select(
+            F.split("id_a", "#").getItem(0).alias("query_id"),
+            F.split("id_b", "#").getItem(0).alias("match_id"),
+            "score",
+        )
+        .filter(F.col("query_id") != F.col("match_id"))
+        .groupBy("query_id", "match_id")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.round(F.avg("score"), 6).alias("avg_score"),
+        )
+    )
+    n, avg = F.col("n_matches"), F.col("avg_score")
+    return by_entry.withColumn(
+        "accepted",
+        (
+            (n >= C.MIN_SIGNATURE_MATCHES)
+            | ((avg >= C.GOOD_SCORE) & (n >= C.MIN_SIGNATURE_MATCHES // 2))
+        )
+        & (avg >= C.MIN_AVERAGE_SCORE),
+    )
+
+
+def audio_stream_search(
+    spark: SparkSession,
+    stream_media: DataFrame,
+    index_sigs: DataFrame,
+    checkpoint_dir: str,
+    output_table: str = "audio_stream_matches",
+):
+    """ears end-to-end in Spark: a streaming source of audio payloads,
+    searched per micro-batch against a static signature index, accepted
+    matches appended to the sink with per-batch (query, match) dedup
+    (the last_match suppression analog, ears/main.m:61,76-77)."""
+    index_local = index_sigs.persist()
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        matches = (
+            audio_search_batch(batch_df, index_local)
+            .filter(F.col("accepted"))
+            .dropDuplicates(["query_id", "match_id"])
+        )
+        matches.write.mode("append").saveAsTable(output_table)
+
+    return (
+        stream_media.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_sliding_window_rollup(
     spark: SparkSession,
     sf_dir: str,

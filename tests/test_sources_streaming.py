@@ -229,3 +229,66 @@ def test_entry_match_decisions_reference_semantics(spark):
     }
     for (a, b), (_n, acc) in got.items():
         assert expected[f"{a}|{b}"] == acc
+
+
+def test_audio_stream_search_finds_planted_clones(spark, tmp_path):
+    """ears end-to-end in the reference's native domain: a static audio
+    index, a streaming source of query payloads (clones + corrupt
+    rows), per-batch spectral-chain search, reference accept rule."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mnemophonix_spark.operators import multimodal as mm
+    from mnemophonix_spark.streaming import stream_search as ss
+
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS audio_stream_matches_test")
+    shutil.rmtree(
+        "/root/repo/spark-warehouse/audio_stream_matches_test", ignore_errors=True
+    )
+    rows = dict(mm.synthesize_audio())
+    clone_ids = ["audio00000st", "audio00001fp", "audio00008st", "audio00009fp"]
+    base_ids = ["audio00000", "audio00001", "audio00008", "audio00009"]
+    index_media = spark.createDataFrame(
+        [(m, bytearray(rows[m])) for m in base_ids],
+        "media_id string, bytes binary",
+    )
+    index_sigs = mm.audio_entry_signatures(index_media).persist()
+    index_sigs.count()
+
+    # streaming source: one parquet file per micro-batch
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    batches = [clone_ids[:2], clone_ids[2:] + ["audio00030"]]  # + corrupt row
+    for i, ids in enumerate(batches):
+        pq.write_table(
+            pa.Table.from_pylist(
+                [{"media_id": m, "bytes": rows[m]} for m in ids]
+            ),
+            str(src / f"b{i}.parquet"),
+        )
+    stream = (
+        spark.readStream.schema("media_id string, bytes binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = ss.audio_stream_search(
+        spark, stream, index_sigs,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_table="audio_stream_matches_test",
+    )
+    assert q.awaitTermination(180)
+    got = {
+        (r["query_id"], r["match_id"]): (r["n_matches"], r["avg_score"])
+        for r in spark.table("audio_stream_matches_test").collect()
+    }
+    # every planted clone matches exactly its base: the 8 bit-identical
+    # spectral images score 100 each, and overlapping neighbor images
+    # may add further above-threshold matches (the reference counts all
+    # of them, search.c:147-168) — so n >= 8 with a high average
+    assert set(got) == set(zip(clone_ids, base_ids)), got
+    for n, avg in got.values():
+        assert n >= 8 and avg >= 35.0, (n, avg)
+    spark.sql("DROP TABLE IF EXISTS audio_stream_matches_test")
+    index_sigs.unpersist()
