@@ -104,6 +104,7 @@ def main() -> None:
 
     png_mixed = _bench_png_mixed_filters()
     lsh_paths = _bench_lsh_bucket_paths(spark)
+    audio_tp = _bench_audio_chain(spark)
 
     result = {
         "metric": "bench_total",
@@ -123,6 +124,9 @@ def main() -> None:
         # explode stays as the SQL-oracle formulation; the matmul path
         # is the scale path — this records the gap that justifies it)
         "lsh_bucket_paths": lsh_paths,
+        # native audio chain throughput (2.5 s entries through decode ->
+        # resample -> FFT -> log bins -> Haar -> MinHash)
+        "audio_chain": audio_tp,
     }
     spark.stop()
 
@@ -205,6 +209,39 @@ def _bench_lsh_bucket_paths(spark) -> dict:
     out["speedup"] = round(out["explode_sec"] / out["matmul_sec"], 2)
     emb.unpersist()
     return out
+
+
+def _bench_audio_chain(spark) -> dict:
+    """Audio spectral-chain throughput: N deterministic 2.5 s WAV/FPCM
+    entries through audio_entry_signatures.  Reported both as entries/s
+    and as an audio-seconds-per-wall-second ratio (the reference
+    anecdotally fingerprints ~130x real-time on 8 threads)."""
+    from mnemophonix_spark.operators import multimodal as mm
+
+    n = int(os.environ.get("SPARK_GRAFT_AUDIO_BENCH_ROWS", "256"))
+    rows = mm.synthesize_audio(n=n)
+    media = spark.createDataFrame(
+        [(m, bytearray(b)) for m, b in rows],
+        "media_id string, bytes binary",
+    ).repartition(int(CPUS)).persist()
+    media.count()
+    sigs = lambda: mm.audio_entry_signatures(media)  # noqa: E731
+    sigs().count()  # warm-up
+    laps = []
+    for _ in range(2):
+        t0 = time.time()
+        n_sigs = sigs().count()
+        laps.append(time.time() - t0)
+    dt = min(laps)
+    n_decoded = len(rows) - n // 8  # one quarantine row per 8 base entries
+    media.unpersist()
+    return {
+        "entries": len(rows),
+        "signature_rows": n_sigs,
+        "sec": round(dt, 3),
+        "entries_per_sec": round(len(rows) / dt, 1),
+        "audio_realtime_factor": round(n_decoded * 2.5 / dt, 1),
+    }
 
 
 def run_scaling(corpus_dir: str, n_rows: int, repeats: int | None = None) -> dict:

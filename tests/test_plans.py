@@ -88,6 +88,39 @@ def test_scan_column_pruning(spark, corpus_dir):
     assert all("bytes" not in s for s in facts_ph.read_schemas)
 
 
+def test_promo_brand_broadcasts_dimension(spark):
+    """Q14 shape: the part dimension must ride a broadcast join and
+    the aggregation must combine map-side."""
+    from mnemophonix_spark.operators import relational
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    df = relational.promo_revenue_by_brand(li, part)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
+    assert "partial_sum" in final
+
+
+def test_running_totals_single_exchange(spark):
+    """The running-total window must cost exactly one hash exchange on
+    the partition key (plus AQE reads) — no extra sort-shuffle pairs."""
+    from mnemophonix_spark.operators import relational
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    df = relational.order_running_totals(li)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    import re
+
+    # one exchange feeding the window sort; AQE shuffle reads excluded
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", final))
+    assert n_exchanges == 1, final
+
+
 def test_whole_stage_codegen_on_relational(spark):
     from mnemophonix_spark.operators import relational
 
