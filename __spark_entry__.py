@@ -5,11 +5,13 @@
 plus the training-data-pipeline extensions); each callable takes
 (spark, sf_dir) and returns a DataFrame.
 ``oracle_sql()`` — exact ANSI-SQL twins runnable by DuckDB on the
-pre-registered testdata views.  The image-chain queries (not
-SQL-expressible) are checked against parquet fixtures precomputed by
-the single-process NumPy oracle (tools/make_image_oracle.py) via
-read_parquet; the two stateful/iterative ops (connected components,
-full pipeline) are rows-only.
+pre-registered testdata views.  EVERY query has an oracle: the
+image/audio-chain queries (not SQL-expressible) are checked against
+parquet fixtures precomputed by the single-process NumPy oracles
+(tools/make_image_oracle.py, tools/make_audio_oracle.py) via
+read_parquet; the iterative ops (connected components, fused
+clusters) against recursive-CTE closures; both ANN indexes and the
+streaming runs against full relational twins.  No rows-only gates.
 
 Cross-engine determinism rules used throughout:
 - decimal casts before sums (double addition is order-dependent);

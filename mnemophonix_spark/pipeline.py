@@ -110,6 +110,129 @@ def run_dedup(
     }
 
 
+def incremental_dedup(
+    spark: SparkSession,
+    prev_signatures: DataFrame,
+    prev_clusters: DataFrame,
+    new_corpus: DataFrame,
+    full_corpus: DataFrame,
+    cap: int = C.MAX_BUCKET_SIZE,
+) -> dict[str, DataFrame]:
+    """Index maintenance: dedup a NEW batch against an existing
+    committed index without recomputing anything over old rows — the
+    production pattern at 10^12 rows, where the reference's
+    build-then-match split (main.c index/match modes) becomes
+    append-then-merge.
+
+    - only the new batch is fingerprinted (one mapInArrow pass);
+    - new-new candidates reuse the salted bucket grouping; new-old
+      candidates PROBE the old band table with an equi-join, with
+      over-cap index buckets dropped (the probe-side analog of the
+      reference's collision tolerance) — no old-old pair is ever
+      re-emitted;
+    - cluster merge contracts every old cluster to its label node and
+      runs connected components over (new ids + touched labels), which
+      preserves components exactly, so labels (min member id) come out
+      IDENTICAL to a from-scratch batch run — pinned by a pytest that
+      splits a corpus in half and compares.  (Exact equivalence holds
+      while no band bucket exceeds the cap; over-cap buckets are salted
+      by size, and sizes differ between incremental and batch runs, so
+      pathological corpora may recall slightly different pair sets —
+      the same approximation every incremental LSH index makes.)
+
+    Returns {signatures, clusters, new_pairs}: the unioned signature
+    table, the updated full cluster assignment, and the accepted pairs
+    involving the new batch.
+    """
+    new_sigs = fingerprint(new_corpus).persist()
+    new_valid = valid_signatures(new_sigs)
+    old_valid = valid_signatures(prev_signatures)
+    new_bands = lsh.explode_bands(new_valid)
+    old_bands = lsh.explode_bands(old_valid)
+
+    # new-new: the normal salted bucket path
+    nn = lsh.candidate_pairs(new_bands, cap=cap)
+
+    # new-old: probe the index bands; drop over-cap index buckets
+    old_sizes = old_bands.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("bucket_size")
+    )
+    old_capped = (
+        old_bands.join(old_sizes, ["band_id", "band_hash"])
+        .filter(F.col("bucket_size") <= cap)
+        .select("band_id", "band_hash", F.col("image_id").alias("old_id"))
+    )
+    no = (
+        new_bands.withColumnRenamed("image_id", "new_id")
+        .join(old_capped, ["band_id", "band_hash"])
+        .groupBy("new_id", "old_id")
+        .agg(F.countDistinct("band_id").alias("n_shared_bands"))
+        .filter(F.col("n_shared_bands") >= C.MIN_BAND_MATCHES)
+        .select(
+            F.least("new_id", "old_id").alias("id_a"),
+            F.greatest("new_id", "old_id").alias("id_b"),
+            "n_shared_bands",
+        )
+    )
+    candidates = nn.unionByName(no).persist()
+    candidates.count()  # exact stats for the broadcast decision
+    pair_bc = lsh.broadcast_decision(candidates)
+
+    all_valid = new_valid.select("image_id", "minhash").unionByName(
+        old_valid.select("image_id", "minhash")
+    )
+    scored = lsh.score_pairs(candidates, all_valid, broadcast=pair_bc)
+    verified = ver.verify_pairs(scored, full_corpus, broadcast=pair_bc).persist()
+
+    # contract old clusters to their label nodes: replace old member
+    # ids with their cluster label on both edge endpoints (new ids pass
+    # through), then one CC over the contracted graph
+    lab = prev_clusters.select(
+        F.col("image_id").alias("m_id"), F.col("cluster_id").alias("m_label")
+    )
+    edges = (
+        verified.select("id_a", "id_b")
+        .join(lab.withColumnRenamed("m_id", "id_a")
+                 .withColumnRenamed("m_label", "lab_a"), "id_a", "left")
+        .join(lab.withColumnRenamed("m_id", "id_b")
+                 .withColumnRenamed("m_label", "lab_b"), "id_b", "left")
+        .select(
+            F.coalesce("lab_a", F.col("id_a")).alias("id_a"),
+            F.coalesce("lab_b", F.col("id_b")).alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    contracted = comp.connected_components(edges)  # (image_id, cluster_id)
+
+    # relabel: old rows through their (possibly merged) old label; new
+    # rows directly; untouched nodes keep their id/label
+    merged = contracted.select(
+        F.col("image_id").alias("node"), F.col("cluster_id").alias("new_label")
+    )
+    old_out = (
+        prev_clusters.join(
+            merged.withColumnRenamed("node", "cluster_id"), "cluster_id", "left"
+        )
+        .select(
+            "image_id",
+            F.coalesce("new_label", F.col("cluster_id")).alias("cluster_id"),
+        )
+    )
+    new_out = (
+        new_corpus.select("image_id")
+        .join(merged.withColumnRenamed("node", "image_id"), "image_id", "left")
+        .select(
+            "image_id",
+            F.coalesce("new_label", F.col("image_id")).alias("cluster_id"),
+        )
+    )
+    return {
+        "signatures": prev_signatures.unionByName(new_sigs),
+        "clusters": old_out.unionByName(new_out),
+        "new_pairs": verified,
+    }
+
+
 def fused_clusters(
     spark: SparkSession, corpus_dir: str, work_dir: str | None = None
 ) -> DataFrame:

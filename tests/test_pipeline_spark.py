@@ -310,3 +310,47 @@ def test_mass_duplicate_corpus_shuffle_fallback(spark, tmp_path):
         C.BROADCAST_MAX_BYTES = old_limit
         for name in ("signatures", "bands", "candidates", "scored", "verified"):
             stages[name].unpersist()
+
+
+def test_incremental_dedup_equals_batch(spark, corpus_dir):
+    """Index maintenance: fingerprint+probe only the NEW half of a
+    corpus against the committed first half — the final cluster
+    assignment must be IDENTICAL to the from-scratch batch run,
+    including clusters that span the two batches."""
+    from pyspark.sql import functions as F
+
+    corpus = spark.read.parquet(f"{corpus_dir}/corpus").persist()
+    ids = sorted(r["image_id"] for r in corpus.select("image_id").collect())
+    half = set(ids[::2])  # interleaved split so dup clusters straddle batches
+    old_corpus = corpus.filter(F.col("image_id").isin(half))
+    new_corpus = corpus.filter(~F.col("image_id").isin(half))
+
+    batch = pipeline.run_dedup(spark, corpus_dir)
+    expected = {
+        r["image_id"]: r["cluster_id"] for r in batch["clusters"].collect()
+    }
+
+    from mnemophonix_spark.operators import components as comp, lsh
+    from mnemophonix_spark.operators import verify as ver
+    from mnemophonix_spark.operators.fingerprint import fingerprint, valid_signatures
+
+    old_sigs = fingerprint(old_corpus).persist()
+    old_cand = lsh.candidate_pairs(lsh.explode_bands(valid_signatures(old_sigs)))
+    old_scored = lsh.score_pairs(old_cand, valid_signatures(old_sigs))
+    old_verified = ver.verify_pairs(old_scored, old_corpus)
+    old_clusters = comp.assign_clusters(
+        old_corpus.select("image_id"),
+        comp.connected_components(old_verified.select("id_a", "id_b")),
+    ).persist()
+
+    inc = pipeline.incremental_dedup(
+        spark, old_sigs, old_clusters, new_corpus, corpus
+    )
+    got = {r["image_id"]: r["cluster_id"] for r in inc["clusters"].collect()}
+    assert got == expected
+    # the merge must actually exercise cross-batch pairs
+    n_cross = inc["new_pairs"].filter(
+        F.col("id_a").isin(half) | F.col("id_b").isin(half)
+    ).count()
+    assert n_cross > 0, "fixture must plant clusters spanning the halves"
+    assert inc["signatures"].count() == corpus.count()
