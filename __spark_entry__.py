@@ -328,6 +328,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lower(F.md5(F.hex(F.col("minhash")))).alias("minhash_md5"),
         )
 
+    def q_incremental_clusters(spark, sf):
+        # incremental index update gated by EQUIVALENCE: appending the
+        # interleaved second half of the corpus to an index built from
+        # the first half must reproduce the batch clusters fixture
+        # exactly (contract-and-merge correctness)
+        from mnemophonix_spark import corpusgen, pipeline
+        from mnemophonix_spark.operators import components as comp, lsh
+        from mnemophonix_spark.operators import verify as ver
+        from mnemophonix_spark.operators.fingerprint import (
+            fingerprint,
+            valid_signatures,
+        )
+
+        corpus_dir = corpusgen.ensure_corpus(CACHE_ROOT, _corpus_rows_for(sf))
+        corpus = spark.read.parquet(f"{corpus_dir}/corpus").persist()
+        ids = sorted(r["image_id"] for r in corpus.select("image_id").collect())
+        half = set(ids[::2])
+        old_corpus = corpus.filter(F.col("image_id").isin(half))
+        new_corpus = corpus.filter(~F.col("image_id").isin(half))
+        old_sigs = fingerprint(old_corpus).persist()
+        old_valid = valid_signatures(old_sigs)
+        old_verified = ver.verify_pairs(
+            lsh.score_pairs(
+                lsh.candidate_pairs(lsh.explode_bands(old_valid)), old_valid
+            ),
+            old_corpus,
+        )
+        old_clusters = comp.assign_clusters(
+            old_corpus.select("image_id"),
+            comp.connected_components(old_verified.select("id_a", "id_b")),
+        ).persist()
+        inc = pipeline.incremental_dedup(
+            spark, old_sigs, old_clusters, new_corpus, corpus
+        )
+        return inc["clusters"].select("image_id", "cluster_id")
+
     def q_fused_clusters(spark, sf):
         from mnemophonix_spark import corpusgen, pipeline
 
@@ -381,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_verified_pairs": q_img_verified_pairs,
         "img_clusters": q_img_clusters,
         "fused_clusters": q_fused_clusters,
+        "img_clusters_incremental": q_incremental_clusters,
         "img_bands": q_img_bands,
         "media_frame_sigs": q_media_frame_sigs,
         "audio_frame_sigs": q_audio_frame_sigs,
@@ -918,6 +955,8 @@ def oracle_sql() -> dict[str, str]:
         "img_scored_pairs": f"SELECT id_a, id_b, n_shared_bands, score FROM read_parquet('{img300}/scored_pairs.parquet')",
         "img_verified_pairs": f"SELECT id_a, id_b FROM read_parquet('{img300}/verified_pairs.parquet')",
         "img_clusters": f"SELECT image_id, cluster_id FROM read_parquet('{img300}/clusters.parquet')",
+        # the incremental path must reproduce the batch fixture exactly
+        "img_clusters_incremental": f"SELECT image_id, cluster_id FROM read_parquet('{img300}/clusters.parquet')",
         "img_bands": f"SELECT band_id, band_hash, image_id FROM read_parquet('{img300}/bands.parquet')",
         "media_frame_sigs": f"SELECT media_id, frame_idx, minhash_md5, is_silence FROM read_parquet('{FIXTURES}/multimodal_oracle/frame_sigs.parquet')",
         # audio chain (ops 1-17 in the reference's native domain):
