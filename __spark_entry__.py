@@ -201,6 +201,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _read(spark, sf, "embeddings")
         return similarity.ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 8))
 
+    def q_kmeans_ivf_ann(spark, sf):
+        emb = _read(spark, sf, "embeddings")
+        return similarity.kmeans_ivf_ann_topk(
+            emb, emb.filter(F.col("vec_id") < 8)
+        )
+
     # --- image chain (synthetic corpus; oracle = NumPy fixtures) ----------
     def q_img_signature_digest(spark, sf):
         from mnemophonix_spark.operators.fingerprint import fingerprint
@@ -412,6 +418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_buckets": q_emb_lsh,
         "emb_lsh_ann_topk": q_emb_lsh_ann,
         "ivf_ann_topk": q_ivf_ann,
+        "kmeans_ivf_ann_topk": q_kmeans_ivf_ann,
         "img_signature_digest": q_img_signature_digest,
         "img_scored_pairs": q_img_scored_pairs,
         "img_verified_pairs": q_img_verified_pairs,
@@ -1020,6 +1027,105 @@ def oracle_sql() -> dict[str, str]:
               FROM buckets q JOIN buckets n
                 ON q.tbl = n.tbl AND q.bucket = n.bucket
               WHERE q.id < 8 AND n.id != q.id
+            ),
+            elems AS (
+              SELECT c.query_id, c.neighbor_id,
+                     unnest(a.embedding) AS qx, unnest(b.embedding) AS ex
+              FROM cand c
+              JOIN embeddings a ON a.vec_id = c.query_id
+              JOIN embeddings b ON b.vec_id = c.neighbor_id
+            ),
+            s AS (
+              SELECT query_id, neighbor_id,
+                     sum(CAST(qx AS DOUBLE) * CAST(ex AS DOUBLE)) AS dot,
+                     sqrt(sum(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE))) AS nq,
+                     sqrt(sum(CAST(ex AS DOUBLE) * CAST(ex AS DOUBLE))) AS ne
+              FROM elems GROUP BY query_id, neighbor_id
+            ),
+            r AS (
+              SELECT query_id, neighbor_id, round(dot / (nq * ne), 6) AS cos_sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY round(dot / (nq * ne), 6) DESC, neighbor_id)
+                       AS rank
+              FROM s
+            )
+            SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5
+        """,
+        # TRAINED k-means IVF with an exact twin: two Lloyd iterations
+        # over integer-quantized vectors (round(x*1000) as BIGINT) with
+        # rational centroids (sum-vector per cell, never divided) —
+        # every dot/norm is an exact integer below 2^53, so scores are
+        # bit-identical doubles in both engines and even the TRAINING
+        # loop cross-checks value-exactly.  Empty cells keep their
+        # previous centroid; ties break on the lower cell id.
+        "kmeans_ivf_ann_topk": """
+            WITH q AS (
+              SELECT vec_id AS id,
+                     list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS xi
+              FROM embeddings
+            ),
+            c0 AS (SELECT id AS cell, xi AS num FROM q WHERE id < 8),
+            a1 AS (
+              SELECT id, cell, xi FROM (
+                SELECT q.id, c.cell, q.xi,
+                       row_number() OVER (PARTITION BY q.id ORDER BY
+                         list_inner_product(q.xi, c.num)
+                           / sqrt(list_inner_product(c.num, c.num)) DESC,
+                         c.cell) AS rk
+                FROM q CROSS JOIN c0 c
+              ) WHERE rk = 1
+            ),
+            s1 AS (
+              SELECT cell, list(s ORDER BY d) AS new_num FROM (
+                SELECT cell, d, CAST(sum(v) AS BIGINT) AS s FROM (
+                  SELECT cell, unnest(xi) AS v,
+                         generate_subscripts(xi, 1) AS d
+                  FROM a1
+                ) GROUP BY cell, d
+              ) GROUP BY cell
+            ),
+            c1 AS (
+              SELECT c0.cell, coalesce(s1.new_num, c0.num) AS num
+              FROM c0 LEFT JOIN s1 USING (cell)
+            ),
+            a2 AS (
+              SELECT id, cell, xi FROM (
+                SELECT q.id, c.cell, q.xi,
+                       row_number() OVER (PARTITION BY q.id ORDER BY
+                         list_inner_product(q.xi, c.num)
+                           / sqrt(list_inner_product(c.num, c.num)) DESC,
+                         c.cell) AS rk
+                FROM q CROSS JOIN c1 c
+              ) WHERE rk = 1
+            ),
+            s2 AS (
+              SELECT cell, list(s ORDER BY d) AS new_num FROM (
+                SELECT cell, d, CAST(sum(v) AS BIGINT) AS s FROM (
+                  SELECT cell, unnest(xi) AS v,
+                         generate_subscripts(xi, 1) AS d
+                  FROM a2
+                ) GROUP BY cell, d
+              ) GROUP BY cell
+            ),
+            c2 AS (
+              SELECT c1.cell, coalesce(s2.new_num, c1.num) AS num
+              FROM c1 LEFT JOIN s2 USING (cell)
+            ),
+            probes AS (
+              SELECT id AS query_id, cell FROM (
+                SELECT q.id, c.cell,
+                       row_number() OVER (PARTITION BY q.id ORDER BY
+                         list_inner_product(q.xi, c.num)
+                           / sqrt(list_inner_product(c.num, c.num)) DESC,
+                         c.cell) AS rk
+                FROM q CROSS JOIN c2 c WHERE q.id < 8
+              ) WHERE rk <= 2
+            ),
+            cand AS (
+              SELECT DISTINCT p.query_id, a.id AS neighbor_id
+              FROM probes p JOIN a2 a ON p.cell = a.cell
+              WHERE a.id != p.query_id
             ),
             elems AS (
               SELECT c.query_id, c.neighbor_id,

@@ -460,6 +460,169 @@ def ivf_ann_topk(
     )
 
 
+def _quantized(embeddings: DataFrame, id_col: str, vec_col: str,
+               quant: int) -> DataFrame:
+    """(id, xi array<long>): embeddings quantized to integers so every
+    downstream k-means quantity is EXACT — integer sums/dots below 2^53
+    convert to identical doubles in any engine, which is what makes a
+    *trained* quantizer cross-engine reproducible at all."""
+    return embeddings.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"transform({vec_col}, x -> cast(round(cast(x as double) * {quant}) as bigint))"
+        ).alias("xi"),
+    )
+
+
+def _int_dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cell_score(num_col):
+    """Cosine ordering score against a rational centroid (num, den):
+    den and |xi| cancel inside the per-vector argmax, so score =
+    dot(xi, num) / |num| — both factors exact integers, converted once
+    to double."""
+    return _int_dot(F.col("xi"), num_col).cast("double") / F.sqrt(
+        _int_dot(num_col, num_col).cast("double")
+    )
+
+
+def _kmeans_train(q: DataFrame, n_cells: int, n_iters: int):
+    """Lloyd loop over quantized vectors; returns (assignment df with
+    columns id/cell/xi, trained centroid df with cell/num)."""
+    cents = q.filter(F.col("id") < n_cells).select(
+        F.col("id").cast("long").alias("cell"), F.col("xi").alias("num")
+    )
+    assign = None
+    for _ in range(n_iters):
+        w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("cell"))
+        assign = (
+            q.join(F.broadcast(cents))
+            .withColumn("score", _cell_score(F.col("num")))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("id", "cell", "xi")
+        )
+        sums = (
+            assign.select("cell", F.posexplode("xi").alias("d", "v"))
+            .groupBy("cell", "d")
+            .agg(F.sum("v").alias("s"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "s"))).alias("ds"))
+            .select("cell", F.expr("transform(ds, e -> e.s)").alias("new_num"))
+        )
+        # empty cells keep the previous centroid
+        cents = (
+            cents.join(sums, "cell", "left")
+            .select("cell", F.coalesce("new_num", F.col("num")).alias("num"))
+        )
+    return assign, cents
+
+
+def kmeans_ivf_assign(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    n_iters: int = 2,
+    quant: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """TRAINED IVF coarse quantizer: ``n_iters`` Lloyd iterations from
+    deterministic seeds (the ``n_cells`` lowest-id vectors), entirely in
+    integer arithmetic — (id, cell) out.
+
+    Centroids are kept as rational (sum-vector, count) pairs, never
+    divided: assignment maximizes dot(xi, num_k)/|num_k|, which orders
+    identically to cosine against the mean and is computed from exact
+    int64 quantities (quant=1000, 64 dims, |x|<=1, n<=~10^5 keeps every
+    dot below 2^53 — the bound that makes the double conversion exact
+    and the whole training loop value-identical in any engine, i.e. a
+    trained quantizer with a full SQL twin).  Empty cells keep their
+    previous centroid, ties break on the lower cell id.  Each iteration
+    is one broadcast of K sum-vectors + one aggregation — no vector
+    ever shuffles.
+    """
+    q = _quantized(embeddings, id_col, vec_col, quant)
+    assign, _cents = _kmeans_train(q, n_cells, n_iters)
+    return assign.select("id", "cell")
+
+
+def kmeans_ivf_ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_iters: int = 2,
+    n_probe: int = 2,
+    quant: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat over the TRAINED quantizer: queries probe their
+    ``n_probe`` best trained cells, exact cosine only inside them.
+    Same exactness story as kmeans_ivf_assign, so the full index —
+    training included — carries a value-exact SQL twin."""
+    q = _quantized(embeddings, id_col, vec_col, quant)
+    assign, cents = _kmeans_train(q, n_cells, n_iters)
+
+    qids = queries.select(F.col(id_col).alias("qid")).distinct()
+    wq = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("cell"))
+    probes = (
+        q.join(qids.withColumnRenamed("qid", "id"), "id", "left_semi")
+        .join(F.broadcast(cents))
+        .withColumn("score", _cell_score(F.col("num")))
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= n_probe)
+        .select(F.col("id").alias("query_id"), "cell")
+    )
+    cand = (
+        probes.join(assign.select(F.col("id").alias("neighbor_id"), "cell"), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("vnorm"),
+    )
+    scored = (
+        cand.join(
+            vecs.select(F.col("vid").alias("query_id"),
+                        F.col("vec").alias("qvec"),
+                        F.col("vnorm").alias("qnorm")),
+            "query_id",
+        )
+        .join(
+            vecs.select(F.col("vid").alias("neighbor_id"),
+                        F.col("vec").alias("cvec"),
+                        F.col("vnorm").alias("cnorm")),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("qnorm") * F.col("cnorm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def ann_recall(exact: DataFrame, approx: DataFrame) -> float:
     """Recall audit: |approx ∩ exact| / |exact| over (query, neighbor)
     pairs — run on a sample at scale to monitor the ANN trade-off."""
