@@ -161,6 +161,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_doc_simhash(spark, sf):
         return dedup_text.simhash64(_read(spark, sf, "documents"))
 
+    def q_doc_simhash_pairs(spark, sf):
+        return dedup_text.simhash_pairs(_read(spark, sf, "documents"))
+
+    def q_doc_winnow_pairs(spark, sf):
+        return dedup_text.winnow_pairs(_read(spark, sf, "documents"))
+
     def q_doc_tokens(spark, sf):
         return textstats.token_stats(_read(spark, sf, "documents"))
 
@@ -407,6 +413,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard_pairs": q_doc_jaccard,
         "doc_dup_clusters": q_doc_clusters,
         "doc_simhash64": q_doc_simhash,
+        "doc_simhash_pairs": q_doc_simhash_pairs,
+        "doc_winnow_pairs": q_doc_winnow_pairs,
         "doc_token_stats": q_doc_tokens,
         "doc_quality_score": q_doc_quality,
         "doc_lang_id": q_doc_lang,
@@ -812,6 +820,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
                                   ORDER BY b) AS simhash
             FROM sums GROUP BY id
+        """,
+        # document SimHash near-dup pairs: 4x16-bit band blocking
+        # (pigeonhole-sound for hamming<=3), exact hamming verify
+        "doc_simhash_pairs": f"""
+            WITH {_WORDS_CTE},
+            bits AS (
+              SELECT w.id, w.word, b.b,
+                     (instr('0123456789abcdef',
+                            substr(md5(w.word), CAST(b.b // 4 AS INT) + 1, 1)) - 1)
+                       AS nibble
+              FROM (SELECT id, word FROM words) w
+              CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b
+            ),
+            sums AS (
+              SELECT id, b,
+                     sum((CAST(floor(nibble / power(2, 3 - (b % 4))) AS INT) % 2) * 2 - 1)
+                       AS s
+              FROM bits GROUP BY id, b
+            ),
+            sh AS (
+              SELECT id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
+                                    ORDER BY b) AS simhash
+              FROM sums GROUP BY id
+            ),
+            bands AS (
+              SELECT id, simhash, j.j AS band_id,
+                     substr(simhash, j.j * 16 + 1, 16) AS band_key
+              FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j
+            ),
+            cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                              a.simhash AS sa, b.simhash AS sb
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+              WHERE a.id < b.id
+            )
+            SELECT id_a, id_b,
+                   len(list_filter(range(1, 65),
+                       i -> substr(sa, CAST(i AS INT), 1)
+                            != substr(sb, CAST(i AS INT), 1))) AS hamming
+            FROM cand
+            WHERE len(list_filter(range(1, 65),
+                  i -> substr(sa, CAST(i AS INT), 1)
+                       != substr(sb, CAST(i AS INT), 1))) <= 3
+        """,
+        # winnowed-fingerprint near-dup pairs (MOSS-style containment
+        # detector); the Spark-side df-cap on boilerplate fingerprints
+        # is inert at this scale (500 docs << 100k) so the twin omits it
+        "doc_winnow_pairs": f"""
+            WITH {_SHINGLES5POS_CTE},
+            hashed AS (
+              SELECT id, pos, md5(shingle) AS h FROM shingles
+            ),
+            wmins AS (
+              SELECT id, pos, h,
+                     min(h) OVER (PARTITION BY id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                       AS wmin
+              FROM hashed
+            ),
+            fps AS (SELECT DISTINCT id, h AS fp FROM wmins WHERE h = wmin)
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared_fps
+            FROM fps a JOIN fps b ON a.fp = b.fp
+            WHERE a.id < b.id
+            GROUP BY a.id, b.id
+            HAVING count(*) >= 3
         """,
         "doc_token_stats": """
             SELECT doc_id AS id,

@@ -179,7 +179,14 @@ def minhash_band_pairs(df: DataFrame, id_col: str = DOC_ID, text_col: str = TEXT
     salted = bands.withColumn("bucket_size", F.count("*").over(wsz)).withColumn(
         "salt",
         F.when(F.col("bucket_size") <= cap, F.lit(0)).otherwise(
-            F.pmod(F.xxhash64(F.col("id").cast("string")), F.ceil(F.col("bucket_size") / cap))
+            # salt keyed PER BAND (band_id in the hash): a per-id-only
+            # salt would repeat the same partition in every hot band,
+            # permanently separating some true pairs (see the image
+            # side's lsh.candidate_pairs for the measured failure)
+            F.pmod(
+                F.xxhash64(F.col("band_id"), F.col("id").cast("string")),
+                F.ceil(F.col("bucket_size") / cap),
+            )
         ),
     )
     a = salted.select(F.col("id").alias("id_a"), "band_id", "band_hash", "salt")
@@ -313,4 +320,83 @@ def dup_clusters(df: DataFrame, id_col: str = DOC_ID, text_col: str = TEXT,
     return out.select(
         F.col("image_id").cast("long").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+def winnow_pairs(df: DataFrame, id_col: str = DOC_ID, text_col: str = TEXT,
+                 k: int = 5, window: int = 4, min_shared: int = 3,
+                 max_fp_df: int = 100_000) -> DataFrame:
+    """MOSS-style near-dup pairs: documents sharing >= ``min_shared``
+    winnowed fingerprints (textstats.winnow_fingerprints).
+
+    The winnowing guarantee makes this a CONTAINMENT detector the
+    shingle-Jaccard channel is not: any shared word run of at least
+    k + window - 1 words selects at least one common fingerprint, so
+    heavily-overlapping-but-unbalanced pairs (a paragraph pasted into a
+    much longer document) surface even when their global Jaccard is
+    tiny.  ``max_fp_df`` caps the join fan-out on boilerplate
+    fingerprints exactly like ngram_jaccard_pairs' stop-shingles.
+    Output: (id_a, id_b, n_shared_fps).
+    """
+    from mnemophonix_spark.operators.textstats import winnow_fingerprints
+
+    fps = winnow_fingerprints(df, id_col, text_col, k, window)
+    fp_df = fps.groupBy("fp").agg(F.count("*").alias("df_count"))
+    joinable = fps.join(
+        fp_df.filter(F.col("df_count") <= max_fp_df).select("fp"), "fp"
+    )
+    a = joinable.select(F.col("id").alias("id_a"), "fp")
+    b = joinable.select(F.col("id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= min_shared)
+    )
+
+
+def simhash_pairs(df: DataFrame, id_col: str = DOC_ID, text_col: str = TEXT,
+                  max_hamming: int = 3) -> DataFrame:
+    """Document SimHash near-dup pairs: 4x16-bit band blocking over the
+    64-bit simhash (pigeonhole-sound for hamming <= 3), exact hamming
+    verification JVM-side.  Output: (id_a, id_b, hamming).
+
+    Same construction as the caption channel (captions.
+    caption_simhash_pairs) applied to the documents table — SimHash
+    catches small-edit near-dups whose shingle sets diverge faster
+    than their word multisets.
+    """
+    sh = simhash64(df, id_col, text_col)
+    n_bands, width = 4, 16
+    bands = sh.select(
+        "id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band_id"),
+    ).withColumn(
+        "band_key", F.substring("simhash", F.col("band_id") * width + 1, width)
+    )
+    a = bands.select(F.col("id").alias("id_a"), F.col("simhash").alias("sa"),
+                     "band_id", "band_key")
+    b = bands.select(F.col("id").alias("id_b"), F.col("simhash").alias("sb"),
+                     "band_id", "band_key")
+    cand = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sa", "sb")
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            F.split("sa", ""),
+            F.split("sb", ""),
+            lambda x, y: F.when(x == y, 0).otherwise(1),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )

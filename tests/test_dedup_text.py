@@ -47,3 +47,42 @@ def test_minhash_band_pairs_salt_inert_below_cap(spark):
     }
     # 6 identical docs -> all 15 canonical pairs, the outlier in none
     assert pairs == {(a, b) for a in range(6) for b in range(6) if a < b}
+
+
+def test_winnow_pairs_containment(spark):
+    """Winnowing is a containment detector: a paragraph pasted into a
+    much longer document must surface even though global Jaccard is
+    tiny (the shingle-Jaccard channel misses it by design)."""
+    from mnemophonix_spark.operators import dedup_text as dt
+
+    para = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    filler = " ".join(f"w{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, para), (2, filler + " " + para + " " + filler.replace("w", "v")),
+         (3, "totally unrelated text with many different words here")],
+        "doc_id long, text string",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in dt.winnow_pairs(docs, min_shared=1).collect()}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
+    jac = {(r["id_a"], r["id_b"])
+           for r in dt.ngram_jaccard_pairs(docs, min_jaccard=0.4).collect()}
+    assert (1, 2) not in jac  # the case Jaccard misses
+
+
+def test_simhash_pairs_small_edit(spark):
+    """SimHash bands catch a one-word edit of a 60-word document; an
+    unrelated document stays out."""
+    from mnemophonix_spark.operators import dedup_text as dt
+
+    base = " ".join(f"word{i}" for i in range(60))
+    edited = base.replace("word30", "changed")
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited),
+         (3, " ".join(f"other{i}" for i in range(60)))],
+        "doc_id long, text string",
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in dt.simhash_pairs(docs).collect()}
+    assert (1, 2) in got and got[(1, 2)] <= 3
+    assert not any(3 in p for p in got)
