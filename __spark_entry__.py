@@ -158,6 +158,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_doc_clusters(spark, sf):
         return dedup_text.dup_clusters(_read(spark, sf, "documents"))
 
+    def q_doc_fused_clusters(spark, sf):
+        return dedup_text.fused_doc_clusters(_read(spark, sf, "documents"))
+
     def q_doc_simhash(spark, sf):
         return dedup_text.simhash64(_read(spark, sf, "documents"))
 
@@ -412,6 +415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_band_pairs": q_doc_band_pairs,
         "doc_ngram_jaccard_pairs": q_doc_jaccard,
         "doc_dup_clusters": q_doc_clusters,
+        "doc_fused_clusters": q_doc_fused_clusters,
         "doc_simhash64": q_doc_simhash,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "doc_winnow_pairs": q_doc_winnow_pairs,
@@ -791,6 +795,122 @@ def oracle_sql() -> dict[str, str]:
               SELECT id_a AS src, id_b AS dst FROM pairs
               UNION ALL
               SELECT id_b AS src, id_a AS dst FROM pairs
+            ),
+            reach AS (
+              SELECT doc_id AS node, doc_id AS label FROM documents
+              UNION
+              SELECT e.dst AS node, r.label AS label
+              FROM reach r JOIN edges e ON e.src = r.node
+            )
+            SELECT node AS doc_id, min(label) AS cluster_id
+            FROM reach GROUP BY node
+        """,
+        # fused text-channel clusters: recursive closure over the UNION
+        # of jaccard + simhash + winnowing pairs — each channel's CTE is
+        # the same construction its standalone twin uses
+        "doc_fused_clusters": """
+            WITH RECURSIVE words AS (
+              SELECT doc_id AS id,
+                     unnest(string_split_regex(lower(text), '\\s+')) AS word,
+                     generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS pos
+              FROM documents
+            ),
+            led3 AS (
+              SELECT id, pos, word,
+                     lead(word, 1) OVER (PARTITION BY id ORDER BY pos) AS w1,
+                     lead(word, 2) OVER (PARTITION BY id ORDER BY pos) AS w2
+              FROM words
+            ),
+            sh3 AS (
+              SELECT DISTINCT id, word || ' ' || w1 || ' ' || w2 AS shingle
+              FROM led3 WHERE w2 IS NOT NULL
+            ),
+            sizes AS (SELECT id, count(*) AS n_shingles FROM sh3 GROUP BY id),
+            common AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+              FROM sh3 a JOIN sh3 b ON a.shingle = b.shingle
+              WHERE a.id < b.id GROUP BY a.id, b.id
+            ),
+            jac_pairs AS (
+              SELECT id_a, id_b FROM common
+              JOIN sizes sa ON sa.id = id_a
+              JOIN sizes sb ON sb.id = id_b
+              WHERE round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) >= 0.4
+            ),
+            bits AS (
+              SELECT w.id, w.word, b.b,
+                     (instr('0123456789abcdef',
+                            substr(md5(w.word), CAST(b.b // 4 AS INT) + 1, 1)) - 1)
+                       AS nibble
+              FROM (SELECT id, word FROM words) w
+              CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b
+            ),
+            sums AS (
+              SELECT id, b,
+                     sum((CAST(floor(nibble / power(2, 3 - (b % 4))) AS INT) % 2) * 2 - 1)
+                       AS s
+              FROM bits GROUP BY id, b
+            ),
+            shv AS (
+              SELECT id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
+                                    ORDER BY b) AS simhash
+              FROM sums GROUP BY id
+            ),
+            bandsv AS (
+              SELECT id, simhash, j.j AS band_id,
+                     substr(simhash, j.j * 16 + 1, 16) AS band_key
+              FROM shv CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j
+            ),
+            sim_cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                              a.simhash AS sa, b.simhash AS sb
+              FROM bandsv a JOIN bandsv b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+              WHERE a.id < b.id
+            ),
+            sim_pairs AS (
+              SELECT id_a, id_b FROM sim_cand
+              WHERE len(list_filter(range(1, 65),
+                    i -> substr(sa, CAST(i AS INT), 1)
+                         != substr(sb, CAST(i AS INT), 1))) <= 3
+            ),
+            led5 AS (
+              SELECT id, pos, word,
+                     lead(word, 1) OVER (PARTITION BY id ORDER BY pos) AS w1,
+                     lead(word, 2) OVER (PARTITION BY id ORDER BY pos) AS w2,
+                     lead(word, 3) OVER (PARTITION BY id ORDER BY pos) AS w3,
+                     lead(word, 4) OVER (PARTITION BY id ORDER BY pos) AS w4
+              FROM words
+            ),
+            sh5 AS (
+              SELECT id, pos,
+                     word || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4 AS shingle
+              FROM led5 WHERE w4 IS NOT NULL
+            ),
+            hashed AS (SELECT id, pos, md5(shingle) AS h FROM sh5),
+            wmins AS (
+              SELECT id, pos, h,
+                     min(h) OVER (PARTITION BY id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                       AS wmin
+              FROM hashed
+            ),
+            fps AS (SELECT DISTINCT id, h AS fp FROM wmins WHERE h = wmin),
+            win_pairs AS (
+              SELECT a.id AS id_a, b.id AS id_b
+              FROM fps a JOIN fps b ON a.fp = b.fp
+              WHERE a.id < b.id
+              GROUP BY a.id, b.id
+              HAVING count(*) >= 3
+            ),
+            pairs AS (
+              SELECT id_a, id_b FROM jac_pairs
+              UNION SELECT id_a, id_b FROM sim_pairs
+              UNION SELECT id_a, id_b FROM win_pairs
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs
             ),
             reach AS (
               SELECT doc_id AS node, doc_id AS label FROM documents

@@ -400,3 +400,34 @@ def simhash_pairs(df: DataFrame, id_col: str = DOC_ID, text_col: str = TEXT,
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def fused_doc_clusters(df: DataFrame, id_col: str = DOC_ID,
+                       text_col: str = TEXT) -> DataFrame:
+    """One cluster assignment fusing the three text near-dup channels —
+    shingle-Jaccard, SimHash small-edit pairs, and winnowing
+    containment pairs — via connected components over their union (the
+    documents-table twin of pipeline.fused_clusters).
+
+    Each channel sees a different failure mode of the others: Jaccard
+    needs balanced overlap, SimHash tolerates small edits, winnowing
+    catches containment; the union is what a training-data dedup pass
+    actually deploys.  Output: (doc_id, cluster_id = min member id).
+    """
+    from mnemophonix_spark.operators import components as comp
+
+    jac = ngram_jaccard_pairs(df, id_col, text_col).select("id_a", "id_b")
+    sim = simhash_pairs(df, id_col, text_col).select("id_a", "id_b")
+    win = winnow_pairs(df, id_col, text_col).select("id_a", "id_b")
+    edges = jac.unionByName(sim).unionByName(win).distinct()
+    # ids stay LONG end-to-end: the components operator's min-label
+    # rule must be numeric min here (a string cast would order "101"
+    # before "99" and diverge from any numeric oracle)
+    assigned = comp.assign_clusters(
+        df.select(F.col(id_col).alias("image_id")),
+        comp.connected_components(edges),
+    )
+    return assigned.select(
+        F.col("image_id").alias("doc_id"),
+        F.col("cluster_id").alias("cluster_id"),
+    )

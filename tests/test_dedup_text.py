@@ -86,3 +86,24 @@ def test_simhash_pairs_small_edit(spark):
            for r in dt.simhash_pairs(docs).collect()}
     assert (1, 2) in got and got[(1, 2)] <= 3
     assert not any(3 in p for p in got)
+
+
+def test_fused_doc_clusters_union_dominates_channels(spark):
+    """The fused assignment must merge pairs any single channel finds:
+    a containment pair (winnow-only) and a small-edit pair (simhash)
+    end up in one cluster with the Jaccard-connected docs."""
+    from mnemophonix_spark.operators import dedup_text as dt
+
+    base = " ".join(f"word{i}" for i in range(60))
+    edited = base.replace("word30", "changed")          # simhash pair w/ 1
+    para = " ".join(f"word{i}" for i in range(30))       # contained in 1
+    filler = " ".join(f"x{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited), (3, filler + " " + para + " " + filler),
+         (4, "totally different text that matches nothing else at all")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dt.fused_doc_clusters(docs).collect()}
+    assert got[1] == got[2] == got[3] == 1  # numeric min label
+    assert got[4] == 4
