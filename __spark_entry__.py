@@ -324,6 +324,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id", "n_samples", "samples_md5", "artist", "title", "album"
         )
 
+    def q_audio_match_decisions(spark, sf):
+        from mnemophonix_spark.operators import multimodal as mm
+
+        sigs = mm.audio_entry_signatures(_audio_corpus(spark))
+        return mm.entry_match_decisions(sigs)
+
     def q_sig_roundtrip(spark, sf):
         # op 18 gate (fingerprintio.c:10-206): signatures -> strict
         # 200-hex text DB -> re-import; the digest of the reimported
@@ -441,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sigs": q_media_frame_sigs,
         "audio_frame_sigs": q_audio_frame_sigs,
         "audio_sample_digest": q_audio_sample_digest,
+        "audio_match_decisions": q_audio_match_decisions,
         "sig_roundtrip_digest": q_sig_roundtrip,
         "events_stream_rollup": q_stream_rollup,
         "events_stream_sliding_window": q_stream_sliding,
@@ -1165,6 +1172,27 @@ def oracle_sql() -> dict[str, str]:
         # deterministic synthesize_audio corpus
         "audio_frame_sigs": f"SELECT media_id, frame_idx, minhash_md5, is_silence FROM read_parquet('{FIXTURES}/audio_oracle/frame_sigs.parquet')",
         "audio_sample_digest": f"SELECT media_id, n_samples, samples_md5, artist, title, album FROM read_parquet('{FIXTURES}/audio_oracle/sample_digest.parquet')",
+        # per-entry accept rule over the audio corpus, recomputed in
+        # SQL from the frame-signature fixture (md5 equality == minhash
+        # equality) — the audio twin of media_match_decisions
+        "audio_match_decisions": f"""
+            WITH fs AS (
+              SELECT media_id, minhash_md5
+              FROM read_parquet('{FIXTURES}/audio_oracle/frame_sigs.parquet')
+              WHERE NOT is_silence
+            ),
+            m AS (
+              SELECT a.media_id AS media_a, b.media_id AS media_b, 100 AS score
+              FROM fs a JOIN fs b
+                ON a.minhash_md5 = b.minhash_md5 AND a.media_id < b.media_id
+            )
+            SELECT media_a, media_b,
+                   round(avg(score), 6) AS avg_score,
+                   count(*) AS n_matches,
+                   ((count(*) >= 10 OR (avg(score) >= 35 AND count(*) >= 5))
+                    AND avg(score) >= 30) AS accepted
+            FROM m GROUP BY media_a, media_b
+        """,
         # roundtrip through the text DB is the identity on digests
         "sig_roundtrip_digest": f"SELECT image_id, minhash_md5 FROM read_parquet('{img300}/signature_digest.parquet')",
         # per-entry aggregation decision recomputed in SQL from the
