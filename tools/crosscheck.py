@@ -2,7 +2,10 @@
 __spark_entry__ query on Spark AND its oracle_sql twin on DuckDB,
 compare row count, column names, and order-insensitive values.
 
-Usage: python tools/crosscheck.py [sf_dir] [query ...]
+Usage: python tools/crosscheck.py [--retired] [sf_dir] [query ...]
+
+``--retired`` also checks the queries retired from the driver's
+50-entry grading window (see __spark_entry__._RETIRED).
 """
 
 from __future__ import annotations
@@ -84,8 +87,11 @@ def _eq(x, y):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    include_retired = "--retired" in args
+    args = [a for a in args if a != "--retired"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as e
     from mnemophonix_spark.session import get_spark
@@ -99,6 +105,9 @@ def main():
 
     qs = e.queries()
     sqls = e.oracle_sql()
+    if include_retired:
+        qs.update(e.retired_queries())
+        sqls.update(e.retired_oracle_sql())
     results = {}
     for name, fn in qs.items():
         if only and name not in only:
