@@ -225,7 +225,13 @@ def _bench_audio_chain(spark) -> dict:
         "media_id string, bytes binary",
     ).repartition(int(CPUS)).persist()
     media.count()
-    sigs = lambda: mm.audio_entry_signatures(media)  # noqa: E731
+    from pyspark.sql import functions as F
+
+    # real signature rows only: quarantine rows (decode_error set) are
+    # emitted too and would inflate the throughput denominator
+    sigs = lambda: mm.audio_entry_signatures(media).filter(  # noqa: E731
+        F.col("decode_error").isNull()
+    )
     sigs().count()  # warm-up
     laps = []
     for _ in range(2):

@@ -364,8 +364,17 @@ def synthesize_audio(n: int = 32, seed: int = 11) -> list[tuple[str, bytes]]:
             )
             if kind == 0:  # planted stereo clone: avg reconstructs ints
                 d = rng.integers(-500, 500, size=ints.size).astype(np.int32)
-                left = np.clip(ints.astype(np.int32) + d, -32768, 32767)
-                right = 2 * ints.astype(np.int32) - left
+                # bound d so BOTH ints+d and ints-d stay inside int16:
+                # an unclipped right channel would silently wrap if the
+                # amplitude recipe ever reached |32267|+ and break the
+                # planted-clone property the audio parity gate relies on
+                # (with the current recipe |ints| < ~28000, so this clip
+                # is inert and fixture bytes are unchanged)
+                head = 32767 - np.abs(ints.astype(np.int32))
+                d = np.clip(d, -head, head)
+                left = ints.astype(np.int32) + d
+                right = ints.astype(np.int32) - d
+                assert int(np.abs(right).max(initial=0)) <= 32767
                 stereo = np.stack([left, right], axis=1).astype(np.int16)
                 rows.append((f"audio{i:05d}st", codecs.encode_wav(stereo)))
             elif kind == 1:  # planted FPCM-44100 clone of the mixdown

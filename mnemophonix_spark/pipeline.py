@@ -153,7 +153,14 @@ def incremental_dedup(
     # new-new: the normal salted bucket path
     nn = lsh.candidate_pairs(new_bands, cap=cap)
 
-    # new-old: probe the index bands; drop over-cap index buckets
+    # new-old: probe the index bands; drop over-cap buckets on BOTH
+    # sides.  Capping only the index side still lets a hot bucket in a
+    # mass-duplicate NEW batch join |new_bucket| * cap rows per band —
+    # the exact skew blow-up candidate_pairs salts against — so the new
+    # bands get the same collision-tolerance cap before probing
+    # (window count: one shuffle on the band key, no chain recompute).
+    from pyspark.sql.window import Window
+
     old_sizes = old_bands.groupBy("band_id", "band_hash").agg(
         F.count("*").alias("bucket_size")
     )
@@ -162,8 +169,14 @@ def incremental_dedup(
         .filter(F.col("bucket_size") <= cap)
         .select("band_id", "band_hash", F.col("image_id").alias("old_id"))
     )
+    wnew = Window.partitionBy("band_id", "band_hash")
+    new_capped = (
+        new_bands.withColumn("new_bucket_size", F.count("*").over(wnew))
+        .filter(F.col("new_bucket_size") <= cap)
+        .drop("new_bucket_size")
+    )
     no = (
-        new_bands.withColumnRenamed("image_id", "new_id")
+        new_capped.withColumnRenamed("image_id", "new_id")
         .join(old_capped, ["band_id", "band_hash"])
         .groupBy("new_id", "old_id")
         .agg(F.countDistinct("band_id").alias("n_shared_bands"))

@@ -32,6 +32,36 @@ from mnemophonix_spark.operators import lsh
 from mnemophonix_spark.operators.fingerprint import fingerprint, valid_signatures
 
 
+def _idempotent_batch_write(matches: DataFrame, batch_id: int,
+                            output_table: str) -> None:
+    """foreachBatch is at-least-once: after a failure the same batch_id
+    can replay, and a plain append would duplicate its rows despite the
+    checkpoint.  Partition the sink table by batch_id and overwrite only
+    the replayed batch's partition (dynamic partition overwrite) — the
+    write becomes idempotent per batch, which is exactly the replay
+    contract foreachBatch requires.
+    """
+    spark = matches.sparkSession
+    out = matches.withColumn("batch_id", F.lit(int(batch_id)))
+    if not spark.catalog.tableExists(output_table):
+        # create the partitioned table from an empty slice so even the
+        # first batch goes through the idempotent insertInto path
+        out.limit(0).write.partitionBy("batch_id").saveAsTable(output_table)
+    cols = [c for c in spark.table(output_table).columns]
+    # the writer-level option("partitionOverwriteMode", ...) is ignored
+    # by insertInto (measured: batch 1's overwrite wiped batch 0's
+    # partition); the session conf is the supported switch, restored
+    # after the write
+    conf = spark.conf
+    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # positional insertInto: match table column order
+        out.select(*cols).write.mode("overwrite").insertInto(output_table)
+    finally:
+        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def search_batch(query_corpus: DataFrame, index_signatures: DataFrame) -> DataFrame:
     """One micro-batch search: fingerprint queries, probe the index.
 
@@ -88,7 +118,7 @@ def stream_search(
         matches = search_batch(batch_df, index_local).dropDuplicates(
             ["query_id", "match_id"]
         )
-        matches.write.mode("append").saveAsTable(output_table)
+        _idempotent_batch_write(matches, batch_id, output_table)
 
     writer = (
         stream_corpus.writeStream.foreachBatch(process_batch)
@@ -223,7 +253,7 @@ def audio_stream_search(
             .filter(F.col("accepted"))
             .dropDuplicates(["query_id", "match_id"])
         )
-        matches.write.mode("append").saveAsTable(output_table)
+        _idempotent_batch_write(matches, batch_id, output_table)
 
     return (
         stream_media.writeStream.foreachBatch(process_batch)

@@ -45,9 +45,15 @@ def test_text_strict_format_rejected(tmp_path):
 def test_stream_search_available_now(spark, corpus_dir, tmp_path):
     """File-source streaming corpus -> foreachBatch search against a
     static index; planted dups must surface as matches."""
+    import shutil
+
     from mnemophonix_spark.operators.fingerprint import fingerprint, valid_signatures
     from mnemophonix_spark.streaming import stream_search as ss
 
+    spark.sql("DROP TABLE IF EXISTS stream_matches_test")
+    shutil.rmtree(
+        "/root/repo/spark-warehouse/stream_matches_test", ignore_errors=True
+    )
     corpus = spark.read.parquet(f"{corpus_dir}/corpus")
     index = valid_signatures(fingerprint(corpus)).persist()
     index.count()
@@ -292,3 +298,29 @@ def test_audio_stream_search_finds_planted_clones(spark, tmp_path):
         assert n >= 8 and avg >= 35.0, (n, avg)
     spark.sql("DROP TABLE IF EXISTS audio_stream_matches_test")
     index_sigs.unpersist()
+
+
+def test_foreach_batch_write_is_idempotent(spark):
+    """foreachBatch is at-least-once: replaying a batch_id must not
+    duplicate rows (ADVICE round 2 — dynamic partition overwrite keyed
+    on batch_id)."""
+    import shutil
+
+    from mnemophonix_spark.streaming.stream_search import _idempotent_batch_write
+
+    spark.sql("DROP TABLE IF EXISTS idemp_write_test")
+    shutil.rmtree("/root/repo/spark-warehouse/idemp_write_test", ignore_errors=True)
+    df1 = spark.createDataFrame([("q1", "m1")], "query_id string, match_id string")
+    _idempotent_batch_write(df1, 0, "idemp_write_test")
+    _idempotent_batch_write(df1, 0, "idemp_write_test")  # replay of batch 0
+    assert spark.table("idemp_write_test").count() == 1
+    df2 = spark.createDataFrame(
+        [("q2", "m2"), ("q3", "m3")], "query_id string, match_id string"
+    )
+    _idempotent_batch_write(df2, 1, "idemp_write_test")
+    assert spark.table("idemp_write_test").count() == 3
+    _idempotent_batch_write(df2, 1, "idemp_write_test")  # replay of batch 1
+    assert spark.table("idemp_write_test").count() == 3
+    # batch 0 rows untouched by batch 1's overwrite
+    assert spark.table("idemp_write_test").filter("batch_id = 0").count() == 1
+    spark.sql("DROP TABLE IF EXISTS idemp_write_test")
