@@ -92,6 +92,19 @@ BROADCAST_MAX_BYTES = int(
     os.environ.get("SPARK_GRAFT_BROADCAST_MAX_BYTES", str(64 << 20))
 )
 
+# --- SimHash engine path (dedup_text.simhash64_engine) ---------------------
+# "packed":  one Arrow pass per row, md5 -> uint64 bit ops (the scale
+#            path; zero shuffle amplification).
+# "explode": the id x word x 64-bit column-expression formulation that
+#            mirrors the SQL oracle exactly (kept for cross-checks).
+SIMHASH_IMPL = os.environ.get("SPARK_GRAFT_SIMHASH_IMPL", "packed")
+
+# --- hyperplane LSH bucket builder (similarity.lsh_ann_topk) ---------------
+# "matmul":  Arrow-batched [batch, dim] @ [dim, planes] per table (the
+#            scale path; zero Exchange before the (id, bucket) result).
+# "explode": the id x dim x plane column-expression oracle formulation.
+LSH_BUCKET_IMPL = os.environ.get("SPARK_GRAFT_LSH_BUCKET_IMPL", "matmul")
+
 # --- shingle-explode fan-out rebalance (dedup_text._fanout_rebalance) ------
 # "auto": repartition to default parallelism when the scan's file index
 #         is narrower than the core count; "always" / "off" override.

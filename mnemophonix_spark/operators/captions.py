@@ -51,11 +51,13 @@ def caption_exact_pairs(corpus: DataFrame) -> DataFrame:
 
 
 def caption_simhash(corpus: DataFrame) -> DataFrame:
-    """(id, simhash string(64)) — same construction as dedup_text.simhash64."""
-    from mnemophonix_spark.operators.dedup_text import simhash64
+    """(id, simhash string(64)) — same construction as dedup_text.
+    simhash64, via the packed-vs-explode dispatcher (engine default is
+    the packed Arrow path)."""
+    from mnemophonix_spark.operators.dedup_text import simhash64_engine
 
     norm = _normalized(corpus)
-    return simhash64(norm, id_col="id", text_col="cap")
+    return simhash64_engine(norm, id_col="id", text_col="cap")
 
 
 def caption_simhash_pairs(

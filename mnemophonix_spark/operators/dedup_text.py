@@ -258,9 +258,11 @@ def simhash64(df: DataFrame, id_col: str = DOC_ID, text_col: str = TEXT) -> Data
 
     bit b of word w = bit b of the first 16 hex chars of md5(w); the
     simhash bit is the sign of sum(2*bit - 1) over the word multiset.
-    Output: (id, simhash string(64)).  Kept in explode form (id x word
-    x 64 bits) so the DuckDB twin is expression-identical; a packed
-    vectorized variant can replace it if profiling demands.
+    Output: (id, simhash string(64)).  This is the ORACLE formulation,
+    kept in explode form (id x word x 64 bits) so the DuckDB twin is
+    expression-identical; the engine default is the packed Arrow twin
+    ``simhash64_fast`` (same recipe as hyperplane_lsh_buckets_fast),
+    parity-pinned by pytest — see ``simhash64_engine``.
     """
     words = _words(df, id_col, text_col).select("id", "word")
     bits = words.select(
@@ -290,6 +292,75 @@ def simhash64(df: DataFrame, id_col: str = DOC_ID, text_col: str = TEXT) -> Data
             ).alias("simhash")
         )
     )
+
+
+def simhash64_fast(df: DataFrame, id_col: str = DOC_ID,
+                   text_col: str = TEXT) -> DataFrame:
+    """Packed vectorized twin of ``simhash64``: same (id, simhash)
+    output, computed in ONE Arrow batch pass per row instead of the
+    id x word x 64-bit explode.
+
+    The explode formulation shuffles 64 rows per word occurrence —
+    3-4 orders of magnitude of shuffle amplification on web documents
+    (the engine's biggest remaining shuffle amplifier per the round-2
+    review).  Here each distinct word hashes once per batch (md5 ->
+    uint64 of the first 16 hex chars; bit b of the simhash is bit
+    (63-b) of that integer, exactly the explode version's nibble
+    arithmetic), the 64-bit unpack is one NumPy shift, and the word
+    multiset reduces with a single scatter-add — zero shuffles before
+    the one-row-per-doc result.  Tokenization matches F.split(lower,
+    '\\s+') including the empty strings Spark emits for leading /
+    trailing whitespace.  Parity with the explode oracle is pinned by
+    tests/test_dedup_text.py::test_simhash64_fast_parity.
+    """
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.StringType())
+    def simhash_udf(texts):
+        import hashlib
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        if not len(texts):
+            return pd.Series([], dtype="object")
+        shifts = (63 - np.arange(64)).astype(np.uint64)
+        out = []
+        cache: dict[str, int] = {}
+        for text in texts:
+            words = re.split(r"\s+", ("" if text is None else text).lower())
+            uniq, counts = np.unique(np.asarray(words, dtype=object),
+                                     return_counts=True)
+            vals = np.empty(uniq.size, dtype=np.uint64)
+            for i, w in enumerate(uniq):
+                v = cache.get(w)
+                if v is None:
+                    v = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:16], 16)
+                    cache[w] = v
+                vals[i] = v
+            bits = ((vals[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            # s_b = sum over multiset of (2*bit - 1) = 2*sum(c*bit) - n
+            s = 2 * (counts[:, None] * bits).sum(axis=0) - int(counts.sum())
+            out.append("".join("1" if x > 0 else "0" for x in s))
+        return pd.Series(out)
+
+    return _fanout_rebalance(df).select(
+        F.col(id_col).alias("id"),
+        simhash_udf(F.col(text_col)).alias("simhash"),
+    )
+
+
+def simhash64_engine(df: DataFrame, id_col: str = DOC_ID,
+                     text_col: str = TEXT) -> DataFrame:
+    """Dispatch between the packed engine path (default) and the
+    explode oracle formulation (``SPARK_GRAFT_SIMHASH_IMPL=explode``).
+    Both produce identical rows; the driver grades the packed path
+    against the explode-shaped SQL twin, which is exactly the parity
+    the flag preserves."""
+    if C.SIMHASH_IMPL == "explode":
+        return simhash64(df, id_col, text_col)
+    return simhash64_fast(df, id_col, text_col)
 
 
 def dup_clusters(df: DataFrame, id_col: str = DOC_ID, text_col: str = TEXT,
@@ -367,7 +438,7 @@ def simhash_pairs(df: DataFrame, id_col: str = DOC_ID, text_col: str = TEXT,
     catches small-edit near-dups whose shingle sets diverge faster
     than their word multisets.
     """
-    sh = simhash64(df, id_col, text_col)
+    sh = simhash64_engine(df, id_col, text_col)
     n_bands, width = 4, 16
     bands = sh.select(
         "id",

@@ -262,10 +262,24 @@ def lsh_ann_topk(
 
     Candidate pairs are deduplicated across tables BEFORE the exact
     scoring join, so each survivor is scored exactly once.
+
+    The ``n_tables`` bucket tables build through the Arrow-matmul fast
+    path by default (config.LSH_BUCKET_IMPL) — the explode formulation
+    shuffles n_tables * dim * n_planes rows per vector, which at
+    768-dim x 16 tables is ~50k shuffle rows/vector; the matmul path is
+    zero-Exchange per table and bit-identical (same md5-derived plane
+    weights, parity-pinned by pytest), so the SQL oracle — which mirrors
+    the explode arithmetic — still grades this query exactly.
     """
+    from mnemophonix_spark import config as C
+
+    builder = (
+        hyperplane_lsh_buckets
+        if C.LSH_BUCKET_IMPL == "explode"
+        else hyperplane_lsh_buckets_fast
+    )
     per_table = [
-        hyperplane_lsh_buckets(embeddings, n_planes, id_col, vec_col,
-                               seed=seed + 7919 * t)
+        builder(embeddings, n_planes, id_col, vec_col, seed=seed + 7919 * t)
         .select("id", F.lit(t).alias("tbl"), "bucket")
         for t in range(n_tables)
     ]
@@ -538,10 +552,14 @@ def kmeans_ivf_assign(
     Centroids are kept as rational (sum-vector, count) pairs, never
     divided: assignment maximizes dot(xi, num_k)/|num_k|, which orders
     identically to cosine against the mean and is computed from exact
-    int64 quantities (quant=1000, 64 dims, |x|<=1, n<=~10^5 keeps every
-    dot below 2^53 — the bound that makes the double conversion exact
-    and the whole training loop value-identical in any engine, i.e. a
-    trained quantizer with a full SQL twin).  Empty cells keep their
+    int64 quantities.  Exactness bound: a cell's sum-vector entry is up
+    to n_cell*quant, so dot(num, num) <= dim*(n_cell*quant)^2; keeping
+    that below 2^53 at quant=1000, dim=64, |x|<=1 requires n_cell <=
+    ~1.1e4 vectors PER CELL (not 10^5 total — the earlier docstring
+    overstated it).  Beyond that, lower quant (bound scales as 1/quant)
+    or split hot cells; within it the double conversion is exact and
+    the whole training loop value-identical in any engine, i.e. a
+    trained quantizer with a full SQL twin.  Empty cells keep their
     previous centroid, ties break on the lower cell id.  Each iteration
     is one broadcast of K sum-vectors + one aggregation — no vector
     ever shuffles.

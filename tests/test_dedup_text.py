@@ -107,3 +107,43 @@ def test_fused_doc_clusters_union_dominates_channels(spark):
            for r in dt.fused_doc_clusters(docs).collect()}
     assert got[1] == got[2] == got[3] == 1  # numeric min label
     assert got[4] == 4
+
+
+def test_simhash64_fast_parity(spark):
+    """The packed Arrow simhash must be row-identical to the explode /
+    SQL-oracle formulation on real documents AND on tokenization edge
+    cases (leading/trailing whitespace, repeated words, single word)."""
+    from mnemophonix_spark.operators import dedup_text as dt
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    slow = {r["id"]: r["simhash"] for r in dt.simhash64(docs).collect()}
+    fast = {r["id"]: r["simhash"] for r in dt.simhash64_fast(docs).collect()}
+    assert fast == slow and len(fast) > 0
+
+    edge = spark.createDataFrame(
+        [
+            (1, "  leading whitespace"),
+            (2, "trailing whitespace  "),
+            (3, "word word word word repeated multiset"),
+            (4, "single"),
+            (5, "MiXeD Case TOKENS mixed case tokens"),
+            (6, "tabs\tand\nnewlines   collapse"),
+        ],
+        "doc_id long, text string",
+    )
+    slow_e = {r["id"]: r["simhash"] for r in dt.simhash64(edge).collect()}
+    fast_e = {r["id"]: r["simhash"] for r in dt.simhash64_fast(edge).collect()}
+    assert fast_e == slow_e
+
+
+def test_simhash_engine_dispatch(spark, monkeypatch):
+    """simhash_pairs must follow the config flag: packed by default,
+    explode when SPARK_GRAFT_SIMHASH_IMPL=explode — identical results."""
+    from mnemophonix_spark import config as C
+    from mnemophonix_spark.operators import dedup_text as dt
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    packed = set(map(tuple, dt.simhash_pairs(docs).collect()))
+    monkeypatch.setattr(C, "SIMHASH_IMPL", "explode")
+    explode = set(map(tuple, dt.simhash_pairs(docs).collect()))
+    assert packed == explode

@@ -142,3 +142,15 @@ def test_kmeans_ivf_beats_untrained_probe_fraction(emb, queries):
     trained = sim.ann_recall(exact, sim.kmeans_ivf_ann_topk(emb, queries))
     untrained = sim.ann_recall(exact, sim.ivf_ann_topk(emb, queries))
     assert trained >= untrained - 0.1, (trained, untrained)
+
+
+def test_lsh_ann_engine_path_matches_explode(emb, queries, monkeypatch):
+    """lsh_ann_topk's default (matmul bucket builder) must equal the
+    explode-builder run row-for-row — the 16-table build is the only
+    thing the flag switches."""
+    from mnemophonix_spark import config as C
+
+    fast = set(map(tuple, sim.lsh_ann_topk(emb, queries).collect()))
+    monkeypatch.setattr(C, "LSH_BUCKET_IMPL", "explode")
+    slow = set(map(tuple, sim.lsh_ann_topk(emb, queries).collect()))
+    assert fast == slow and len(fast) > 0
