@@ -428,6 +428,64 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus_dir = corpusgen.ensure_corpus(CACHE_ROOT, _corpus_rows_for(sf))
         return pipeline.fused_clusters(spark, corpus_dir)
 
+    def q_stream_matches(spark, sf):
+        # S1/S3 driver gate (the last pytest-only streaming rows):
+        # the SAME corpus streamed file-by-file through stream_search's
+        # foreachBatch path against a static signature index must emit
+        # exactly the batch pipeline's scored pairs, in both
+        # orientations (every row is both a query and an index member).
+        # The oracle is the batch scored_pairs fixture mirrored — the
+        # engine's batch/streaming-unification claim (SURVEY §3.3) as a
+        # value-exact driver check.
+        import os
+        import shutil
+        import tempfile
+
+        from mnemophonix_spark import corpusgen
+        from mnemophonix_spark.operators.fingerprint import (
+            fingerprint,
+            valid_signatures,
+        )
+        from mnemophonix_spark.streaming import stream_search as ss
+
+        corpus_dir = corpusgen.ensure_corpus(CACHE_ROOT, _corpus_rows_for(sf))
+        corpus = spark.read.parquet(f"{corpus_dir}/corpus")
+        index = valid_signatures(fingerprint(corpus)).persist()
+        table = f"stream_matches_gate_n{_corpus_rows_for(sf)}"
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        shutil.rmtree(os.path.join(wh, table), ignore_errors=True)
+        stream = (
+            spark.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", 4)  # force multiple micro-batches
+            .parquet(f"{corpus_dir}/corpus")
+        )
+        q = ss.stream_search(
+            spark,
+            stream,
+            index,
+            checkpoint_dir=tempfile.mkdtemp(prefix="stream_gate_ckpt"),
+            output_table=table,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("stream_matches: availableNow run incomplete")
+        out = spark.table(table).select(
+            "query_id", "match_id", "n_shared_bands", "score"
+        ).cache()
+        out.count()
+        index.unpersist()
+        return out
+
+    def q_crossmodal_links(spark, sf):
+        from mnemophonix_spark.operators import crossmodal
+
+        return crossmodal.caption_doc_links(
+            _image_corpus(spark, sf), _read(spark, sf, "documents")
+        )
+
     def q_img_bands(spark, sf):
         from mnemophonix_spark.operators import lsh
         from mnemophonix_spark.operators.fingerprint import (
@@ -444,6 +502,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_pairs": q_caption_pairs,
         "media_match_decisions": q_media_decisions,
         "phash_dup_pairs": q_phash_dup_pairs,
+        "stream_matches": q_stream_matches,
+        "crossmodal_links": q_crossmodal_links,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "doc_fused_clusters": q_doc_fused_clusters,
         "emb_lsh_ann_topk": q_emb_lsh_ann,
@@ -1485,6 +1545,54 @@ def _all_oracle_sql() -> dict[str, str]:
               FROM s
             )
             SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5
+        """,
+        # streaming == batch: the foreachBatch search over the streamed
+        # corpus must emit the batch scored-pairs fixture in BOTH
+        # orientations (each corpus row acts as query against the full
+        # index, so the canonical (a<b) fixture appears mirrored)
+        "stream_matches": f"""
+            WITH s AS (
+              SELECT id_a, id_b, n_shared_bands, score
+              FROM read_parquet('{img300}/scored_pairs.parquet')
+            )
+            SELECT id_a AS query_id, id_b AS match_id, n_shared_bands, score
+            FROM s
+            UNION ALL
+            SELECT id_b AS query_id, id_a AS match_id, n_shared_bands, score
+            FROM s
+        """,
+        # cross-modality link: top-1 document per image caption by
+        # shared-distinct-word count (ties -> min doc_id); caption
+        # normalization identical to the caption channel, document
+        # tokenization identical to the text channel
+        "crossmodal_links": f"""
+            WITH cap AS (
+              SELECT image_id,
+                     regexp_replace(trim(lower(caption)), '\\s+', ' ', 'g') AS cap
+              FROM read_parquet('{CACHE_ROOT}/corpus_n300_s42/corpus/part-*.parquet')
+            ),
+            cw AS (
+              SELECT DISTINCT image_id,
+                     unnest(string_split(cap, ' ')) AS word
+              FROM cap WHERE length(cap) > 0
+            ),
+            dw AS (
+              SELECT DISTINCT doc_id,
+                     unnest(string_split_regex(lower(text), '\\s+')) AS word
+              FROM documents
+            ),
+            common AS (
+              SELECT cw.image_id, dw.doc_id, count(*) AS n_shared_words
+              FROM cw JOIN dw ON cw.word = dw.word
+              GROUP BY cw.image_id, dw.doc_id
+            ),
+            r AS (
+              SELECT image_id, doc_id, n_shared_words,
+                     row_number() OVER (PARTITION BY image_id
+                        ORDER BY n_shared_words DESC, doc_id) AS rk
+              FROM common
+            )
+            SELECT image_id, doc_id, n_shared_words FROM r WHERE rk = 1
         """,
         "caption_pairs": f"SELECT id_a, id_b, via FROM read_parquet('{img300}/caption_pairs.parquet')",
         "caption_substring_sa": f"SELECT DISTINCT id_a, id_b FROM read_parquet('{img300}/caption_pairs.parquet') WHERE via = 'substring'",
