@@ -16,8 +16,48 @@ risk list: bounded iterations + fixpoint check).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# conservative driver-side cost of one collected edge: a Row with two
+# short string ids plus two union-find dict entries (~2 str objects +
+# dict slots) lands around 300-400 bytes in CPython; 400 is the safe
+# planning figure
+_BYTES_PER_EDGE = 400
+# fraction of driver memory the collected edge list may occupy — the
+# driver also holds the Py4J gateway, result buffers, and the app
+_DRIVER_MEM_FRACTION = 0.10
+
+
+def _parse_mem(size: str) -> int:
+    """'16g' / '4096m' / '512k' / plain bytes -> bytes."""
+    s = size.strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in mult:
+        return int(float(s[:-1]) * mult[s[-1]])
+    return int(float(s))
+
+
+def derived_driver_threshold(spark: SparkSession) -> int:
+    """Union-find cutoff sized from the ACTUAL driver heap instead of a
+    constant: a mass-duplicate corpus at 100x scale can push the
+    accepted-pair edge list past any fixed number while a big driver
+    could still absorb it — and vice versa on a small driver (round-2
+    review, minor finding 4).  ``SPARK_GRAFT_CC_DRIVER_EDGES``
+    overrides; otherwise edges = driver_mem * fraction / bytes_per_edge,
+    floored at 100k (below that the fixed per-round Spark job latency
+    always dominates) .
+    """
+    env = os.environ.get("SPARK_GRAFT_CC_DRIVER_EDGES")
+    if env:
+        return int(env)
+    try:
+        mem = _parse_mem(spark.conf.get("spark.driver.memory", "4g"))
+    except (ValueError, TypeError):
+        mem = 4 << 30
+    return max(100_000, int(mem * _DRIVER_MEM_FRACTION) // _BYTES_PER_EDGE)
 
 
 def _min_neighbor(edges: DataFrame) -> DataFrame:
@@ -61,7 +101,7 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 def connected_components(
     pairs: DataFrame, max_iterations: int = 20,
-    driver_threshold: int = 2_000_000
+    driver_threshold: int | None = None
 ) -> DataFrame:
     """pairs(id_a, id_b) -> (image_id, cluster_id) for non-singleton nodes.
 
@@ -77,8 +117,12 @@ def connected_components(
     shuffle loop costs ~3 fixed-latency Spark jobs per round, which
     dwarfs the work at that size.  Above the threshold the distributed
     large-star/small-star loop runs; both paths produce identical labels
-    (pinned by tests).
+    (pinned by tests).  ``driver_threshold=None`` (the default) derives
+    the cutoff from the session's actual driver heap
+    (``derived_driver_threshold``); pass an int to pin it.
     """
+    if driver_threshold is None:
+        driver_threshold = derived_driver_threshold(pairs.sparkSession)
     def _stats(df: DataFrame) -> tuple[int, int]:
         # one action: (edge count, order-insensitive xxhash64 checksum)
         row = df.agg(

@@ -354,3 +354,43 @@ def test_incremental_dedup_equals_batch(spark, corpus_dir):
     ).count()
     assert n_cross > 0, "fixture must plant clusters spanning the halves"
     assert inc["signatures"].count() == corpus.count()
+
+
+def test_derived_driver_threshold(spark, monkeypatch):
+    """CC driver cutoff is sized from the actual driver heap (env
+    override wins; floor at 100k), and both sides of the derived
+    boundary pick the intended execution path."""
+    from mnemophonix_spark.operators import components as comp
+
+    monkeypatch.delenv("SPARK_GRAFT_CC_DRIVER_EDGES", raising=False)
+    thr = comp.derived_driver_threshold(spark)
+    mem = comp._parse_mem(spark.conf.get("spark.driver.memory", "4g"))
+    assert thr == max(100_000, int(mem * comp._DRIVER_MEM_FRACTION) // comp._BYTES_PER_EDGE)
+    # 16g driver (session default) -> ~4.3M edges, scaling with memory
+    assert comp._parse_mem("16g") == 16 << 30
+    assert comp._parse_mem("4096m") == 4 << 30
+    assert comp._parse_mem("123") == 123
+    monkeypatch.setenv("SPARK_GRAFT_CC_DRIVER_EDGES", "7777")
+    assert comp.derived_driver_threshold(spark) == 7777
+
+
+def test_default_threshold_selects_driver_path_for_small_edges(spark, monkeypatch):
+    """With the derived default (>=100k), a tiny edge list must label
+    via driver union-find and equal the forced-distributed labels."""
+    from mnemophonix_spark.operators import components as comp
+
+    monkeypatch.delenv("SPARK_GRAFT_CC_DRIVER_EDGES", raising=False)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+    )
+    default = {
+        (r["image_id"], r["cluster_id"])
+        for r in comp.connected_components(edges).collect()
+    }
+    forced = {
+        (r["image_id"], r["cluster_id"])
+        for r in comp.connected_components(edges, driver_threshold=0).collect()
+    }
+    assert default == forced == {
+        ("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")
+    }
