@@ -165,10 +165,20 @@ def _bench_png_mixed_filters() -> dict:
     for data in imgs:
         codecs.decode_png(data)
     dt = time.time() - t0
+    # batched wavefront (the fingerprint hot path): same images decoded
+    # through decode_batch, which groups same-shape Average/Paeth PNGs
+    # into one k-image wavefront
+    fmts = ["png"] * len(imgs)
+    codecs.decode_batch(imgs[:4], fmts[:4])  # warm-up
+    t0 = time.time()
+    codecs.decode_batch(imgs, fmts)
+    dt_batch = time.time() - t0
     return {
         "images": len(imgs),
         "ms_per_image": round(dt / len(imgs) * 1000, 2),
         "images_per_sec_1core": round(len(imgs) / dt, 1),
+        "ms_per_image_batched": round(dt_batch / len(imgs) * 1000, 2),
+        "batch_speedup": round(dt / dt_batch, 2),
     }
 
 

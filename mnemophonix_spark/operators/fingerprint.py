@@ -80,12 +80,16 @@ def _fingerprint_batches(
         grids = np.zeros((n, C.GRID_W, C.GRID_H), dtype=np.float32)
         errors: list[str | None] = [None] * n
         ok = np.zeros(n, dtype=bool)
+        # batch decode: same-shape Average/Paeth PNGs share one batched
+        # wavefront; malformed rows come back as CodecError values and
+        # are quarantined, never fatal
+        decoded = codecs.decode_batch(payloads, fmts)
         for i in range(n):
-            try:
-                grids[i] = kernels.luma_to_grid(codecs.decode(payloads[i], fmts[i]))
+            if isinstance(decoded[i], codecs.CodecError):
+                errors[i] = str(decoded[i])
+            else:
+                grids[i] = kernels.luma_to_grid(decoded[i])
                 ok[i] = True
-            except codecs.CodecError as e:  # quarantine, don't fail the task
-                errors[i] = str(e)
 
         out = kernels.grid_to_signature(grids)
         bands = kernels.band_hashes(out["minhash"])

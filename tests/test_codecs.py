@@ -176,3 +176,72 @@ def test_channel_mean_mixdown():
     img = np.full((4, 4), 100.0)
     out = codecs.decode_bmp(codecs.encode_bmp(img))
     assert (out == 100.0).all()
+
+
+def test_decode_batch_matches_per_row():
+    """decode_batch must equal per-row decode exactly across formats,
+    filter mixes, shapes, and quarantine rows."""
+    import numpy as np
+
+    from mnemophonix_spark import codecs
+
+    rng = np.random.default_rng(11)
+    payloads, fmts = [], []
+    for shape in [(64, 64), (64, 64), (128, 96), (64, 64), (128, 96)]:
+        img = np.round(rng.uniform(0, 255, size=shape)).astype(np.uint8)
+        f = rng.choice([3, 4], size=shape[0]).astype(np.uint8)
+        payloads.append(codecs.encode_png(img, row_filters=f))
+        fmts.append("png")
+    img = np.round(rng.uniform(0, 255, size=(64, 64))).astype(np.uint8)
+    payloads += [
+        codecs.encode_png(img),                              # filter 0 tier
+        codecs.encode_png(img, row_filters=np.full(64, 1, np.uint8)),
+        codecs.encode_bmp(img),
+        codecs.encode_fake_jpeg(img),
+        b"not an image at all",                              # quarantine
+    ]
+    fmts += ["png", "png", "bmp", "jpeg", "png"]
+    payloads.append(codecs.encode_bmp(img))
+    fmts.append("tiff")                                      # unknown fmt
+
+    batch = codecs.decode_batch(payloads, fmts)
+    for data, fmt, got in zip(payloads, fmts, batch):
+        try:
+            want = codecs.decode(data, fmt)
+        except codecs.CodecError as e:
+            assert isinstance(got, codecs.CodecError)
+            assert str(got) == str(e)
+            continue
+        assert isinstance(got, np.ndarray)
+        assert got.dtype == want.dtype and np.array_equal(got, want)
+
+
+def test_unfilter_batch_matches_single():
+    """The batched wavefront is bit-identical to the per-image one on
+    every filter mix, including the uniform-Paeth/-Average shortcuts."""
+    import numpy as np
+
+    from mnemophonix_spark import codecs
+
+    rng = np.random.default_rng(13)
+    h, w = 48, 37
+    for mix in ["all4", "all3", "mixed", "mixed01234"]:
+        scans, singles = [], []
+        for _ in range(5):
+            img = np.round(rng.uniform(0, 255, size=(h, w))).astype(np.uint8)
+            if mix == "all4":
+                f = np.full(h, 4, np.uint8)
+            elif mix == "all3":
+                f = np.full(h, 3, np.uint8)
+            elif mix == "mixed":
+                f = rng.choice([3, 4], size=h).astype(np.uint8)
+            else:
+                f = rng.choice([0, 1, 2, 3, 4], size=h).astype(np.uint8)
+            data = codecs.encode_png(img, row_filters=f)
+            scan, ww, hh = codecs._parse_png(data)
+            assert (ww, hh) == (w, h)
+            scans.append(scan)
+            singles.append(codecs._unfilter(scan, w, h))
+            assert np.array_equal(singles[-1], img)
+        batched = codecs._unfilter_batch(np.stack(scans), w, h)
+        assert np.array_equal(batched, np.stack(singles))
