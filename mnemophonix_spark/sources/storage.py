@@ -11,11 +11,18 @@ has two backends behind one API:
   resume checks table existence via the catalog; the snapshot commit is
   the checkpoint barrier (maps to the reference's save() barrier,
   fingerprintio.c:10-23).
-- **parquet** (sandbox fallback): each stage is a parquet directory; an
-  atomically-renamed ``_LINEAGE.json`` (row counts per partition,
-  wall-clock, input fingerprint) doubles as the commit marker. A stage
-  directory without the marker is treated as uncommitted garbage and
-  rewritten.
+- **parquet** (sandbox fallback): each stage commit is an immutable
+  VERSION directory (parquet files + ``_LINEAGE.json`` with per-file
+  row counts, wall-clock, input fingerprint) published by atomically
+  renaming a ``CURRENT`` pointer file at the stage root — the same
+  snapshot-pointer shape Iceberg's catalog swap gives ``writeTo``.
+  Readers resolve ``CURRENT`` to a version that is already fully
+  written, so a reader NEVER observes a half-committed stage, even
+  mid-rewrite (pinned by a concurrent-reader pytest); the previous
+  version is retained until the next commit so in-flight readers of
+  the old snapshot stay valid.  A version directory not referenced by
+  ``CURRENT`` is uncommitted garbage and is collected on the next
+  write.
 
 The resume contract is identical for both: ``run_stage`` skips
 recompute when the stage is committed AND its recorded input
@@ -32,6 +39,19 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _find_iceberg_catalog(conf_items) -> str | None:
+    """Capability probe: the name of the first configured Iceberg
+    catalog (``spark.sql.catalog.<name> = ...IcebergCatalog``), or None
+    when the session has no Iceberg runtime — the switch that selects
+    the snapshot backend vs the parquet pointer protocol."""
+    for k, v in conf_items:
+        if k.startswith("spark.sql.catalog.") and "iceberg" in str(v).lower():
+            parts = k.split(".")
+            if len(parts) == 4:  # exactly spark.sql.catalog.<name>
+                return parts[3]
+    return None
+
+
 class StageStore:
     def __init__(self, spark: SparkSession, root: str, run_id: str = "default"):
         self.spark = spark
@@ -40,18 +60,29 @@ class StageStore:
         self._catalog = self._detect_iceberg_catalog()
 
     def _detect_iceberg_catalog(self) -> str | None:
-        for k, v in self.spark.sparkContext.getConf().getAll():
-            if k.startswith("spark.sql.catalog.") and "iceberg" in v.lower():
-                return k.split(".", 3)[3]
-        return None
+        return _find_iceberg_catalog(self.spark.sparkContext.getConf().getAll())
 
     # -- parquet backend helpers ------------------------------------------
 
-    def _dir(self, stage: str) -> str:
+    def _stage_root(self, stage: str) -> str:
         return os.path.join(self.root, self.run_id, stage)
 
-    def _marker(self, stage: str) -> str:
-        return os.path.join(self._dir(stage), "_LINEAGE.json")
+    def _pointer(self, stage: str) -> str:
+        return os.path.join(self._stage_root(stage), "CURRENT")
+
+    def _current_version(self, stage: str) -> str | None:
+        """Resolve the committed version dir, or None if uncommitted."""
+        try:
+            with open(self._pointer(stage)) as f:
+                vname = f.read().strip()
+        except FileNotFoundError:
+            return None
+        vdir = os.path.join(self._stage_root(stage), vname)
+        return vdir if os.path.exists(os.path.join(vdir, "_LINEAGE.json")) else None
+
+    def _marker(self, stage: str) -> str | None:
+        vdir = self._current_version(stage)
+        return os.path.join(vdir, "_LINEAGE.json") if vdir else None
 
     def is_committed(self, stage: str, input_fingerprint: str | None = None) -> bool:
         if self._catalog:
@@ -60,11 +91,12 @@ class StageStore:
                 return True
             except Exception:
                 return False
-        if not os.path.exists(self._marker(stage)):
+        marker = self._marker(stage)
+        if marker is None:
             return False
         if input_fingerprint is None:
             return True
-        with open(self._marker(stage)) as f:
+        with open(marker) as f:
             meta = json.load(f)
         return meta.get("input_fingerprint") == input_fingerprint
 
@@ -82,13 +114,17 @@ class StageStore:
                        "backend": "iceberg",
                        "input_fingerprint": input_fingerprint}
             return lineage
-        out = self._dir(stage)
-        tmp = out + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(out, ignore_errors=True)
-        df.write.mode("overwrite").parquet(tmp)
+        root = self._stage_root(stage)
+        os.makedirs(root, exist_ok=True)
+        prev = self._current_version(stage)
+        # immutable version dir: unique name, never referenced until the
+        # pointer swap, so concurrent readers of the committed version
+        # are untouched while this writes
+        vname = f"v{time.time_ns()}_{os.getpid()}"
+        vdir = os.path.join(root, vname)
+        df.write.mode("overwrite").parquet(vdir)
         # per-partition lineage: rows per output file
-        written = self.spark.read.parquet(tmp)
+        written = self.spark.read.parquet(vdir)
         from pyspark.sql import functions as F
 
         per_file = (
@@ -97,9 +133,9 @@ class StageStore:
             .collect()
         )
         n = sum(r["count"] for r in per_file)
-        os.rename(tmp, out)
         lineage = {
             "stage": stage,
+            "version": vname,
             "rows": n,
             "secs": round(time.time() - t0, 3),
             "backend": "parquet",
@@ -109,16 +145,30 @@ class StageStore:
                 for r in sorted(per_file, key=lambda r: r["file"])
             ],
         }
-        marker_tmp = self._marker(stage) + ".tmp"
-        with open(marker_tmp, "w") as f:
+        # marker inside the version dir (underscore-prefixed: invisible
+        # to the parquet reader), then the atomic pointer swap publishes
+        # the snapshot — rename-over-file is atomic on POSIX
+        with open(os.path.join(vdir, "_LINEAGE.json"), "w") as f:
             json.dump(lineage, f)
-        os.rename(marker_tmp, self._marker(stage))  # atomic commit
+        ptr_tmp = self._pointer(stage) + f".tmp.{os.getpid()}"
+        with open(ptr_tmp, "w") as f:
+            f.write(vname)
+        os.replace(ptr_tmp, self._pointer(stage))  # commit
+        # GC: drop versions older than the PREVIOUS one (kept so readers
+        # that resolved the old snapshot before the swap stay valid)
+        keep = {vname, os.path.basename(prev) if prev else None}
+        for entry in os.listdir(root):
+            if entry.startswith("v") and entry not in keep:
+                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
         return lineage
 
     def read(self, stage: str) -> DataFrame:
         if self._catalog:
             return self.spark.table(self._table(stage))
-        return self.spark.read.parquet(self._dir(stage))
+        vdir = self._current_version(stage)
+        if vdir is None:
+            raise FileNotFoundError(f"stage {stage!r} has no committed version")
+        return self.spark.read.parquet(vdir)
 
     def run_stage(self, stage: str, build, input_fingerprint: str | None = None,
                   log=print) -> DataFrame:

@@ -88,7 +88,8 @@ def test_resume_skips_committed_stages(spark, corpus_dir, tmp_path):
     import glob
     import json
 
-    markers = glob.glob(str(tmp_path) + "/*/*/_LINEAGE.json")
+    # layout: {work}/{run_id}/{stage}/{version}/_LINEAGE.json
+    markers = glob.glob(str(tmp_path) + "/*/*/*/_LINEAGE.json")
     assert markers
     meta = json.load(open(markers[0]))
     assert meta["rows"] >= 0 and "partitions" in meta

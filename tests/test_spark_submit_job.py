@@ -69,5 +69,6 @@ def test_spark_submit_py_files_job(tmp_path, corpus_dir):
     counters = json.load(open(out_dir / "_counters.json"))
     assert counters["corpus_rows"] == len(got)
     # resume/lineage markers committed per stage (StageStore contract)
-    committed = sorted(p.parent.name for p in work_dir.rglob("_LINEAGE.json"))
+    # marker lives in the version dir; its parent's parent is the stage
+    committed = sorted(p.parent.parent.name for p in work_dir.rglob("_LINEAGE.json"))
     assert "signatures" in committed and "clusters" in committed, committed
