@@ -73,10 +73,13 @@ def main() -> None:
     run_image_pipeline(spark, warm_dir)
     spark.catalog.clearCache()
 
-    # two timed laps, min taken: hypervisor steal on this VM spikes a
-    # single lap by up to ~10x for tens of seconds at a time
+    # timed laps, min taken: hypervisor steal on this VM spikes a
+    # single lap by up to ~10x for tens of seconds at a time — and a
+    # steal episode can outlast two consecutive laps (measured in round
+    # 3: 30.3 s bench lap vs 11.1 s re-run minutes later for identical
+    # code), so the headline image job takes three
     img_times = []
-    for _ in range(2):
+    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_LAPS", "3"))):
         t0 = time.time()
         n_clusters = run_image_pipeline(spark, corpus_dir)
         img_times.append(time.time() - t0)

@@ -263,6 +263,81 @@ def audio_stream_search(
     )
 
 
+def stream_index_maintenance(
+    spark: SparkSession,
+    stream_corpus: DataFrame,
+    checkpoint_dir: str,
+    state: dict | None = None,
+):
+    """Streaming INDEX MAINTENANCE: every micro-batch of new images is
+    fingerprinted once and appended to the living index through
+    ``pipeline.incremental_dedup`` — the reference's build-then-match
+    split (main.c index/match modes) recast as the production
+    append-only pattern a 10^12-row corpus actually runs: no old row is
+    ever re-fingerprinted, new-old candidates probe the committed band
+    index, and cluster labels merge via contract-and-merge CC.
+
+    ``state`` (a mutable dict, created if None) carries the living
+    index between micro-batches: ``signatures``, ``clusters``,
+    ``corpus``.  Each batch ends with ``localCheckpoint`` on the new
+    state so lineage stays bounded over an unbounded stream (at cluster
+    scale these become StageStore snapshot commits — same barrier).
+    The final state must equal a from-scratch batch run over everything
+    streamed, which is exactly what the pytest pins.
+
+    Returns ``(query, state)``.
+    """
+    from mnemophonix_spark import pipeline
+    from mnemophonix_spark.operators import components as comp
+    from mnemophonix_spark.operators import verify as ver
+
+    st: dict = state if state is not None else {}
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # pin the batch rows: batch_df is only valid inside this call,
+        # but the index state must outlive it
+        batch_local = batch_df.localCheckpoint(eager=True)
+        if batch_local.rdd.isEmpty():
+            return
+        if "signatures" not in st:
+            # bootstrap: first batch is a normal batch dedup
+            sigs = fingerprint(batch_local).localCheckpoint(eager=True)
+            valid = valid_signatures(sigs)
+            verified = ver.verify_pairs(
+                lsh.score_pairs(
+                    lsh.candidate_pairs(lsh.explode_bands(valid)), valid
+                ),
+                batch_local,
+            )
+            clusters = comp.assign_clusters(
+                batch_local.select("image_id"),
+                comp.connected_components(verified.select("id_a", "id_b")),
+            )
+            st.update(
+                signatures=sigs,
+                clusters=clusters.localCheckpoint(eager=True),
+                corpus=batch_local,
+            )
+            return
+        full = st["corpus"].unionByName(batch_local).localCheckpoint(eager=True)
+        out = pipeline.incremental_dedup(
+            spark, st["signatures"], st["clusters"], batch_local, full
+        )
+        st.update(
+            signatures=out["signatures"].localCheckpoint(eager=True),
+            clusters=out["clusters"].localCheckpoint(eager=True),
+            corpus=full,
+        )
+
+    q = (
+        stream_corpus.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, st
+
+
 def stream_sliding_window_rollup(
     spark: SparkSession,
     sf_dir: str,

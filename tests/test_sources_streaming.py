@@ -324,3 +324,48 @@ def test_foreach_batch_write_is_idempotent(spark):
     # batch 0 rows untouched by batch 1's overwrite
     assert spark.table("idemp_write_test").filter("batch_id = 0").count() == 1
     spark.sql("DROP TABLE IF EXISTS idemp_write_test")
+
+
+def test_stream_index_maintenance_equals_batch(spark, corpus_dir, tmp_path):
+    """The living streaming index (bootstrap batch + incremental
+    appends per micro-batch) must end exactly equal to a from-scratch
+    batch run over everything streamed — the append-only production
+    pattern with the batch pipeline as its oracle."""
+    from mnemophonix_spark.operators import components as comp
+    from mnemophonix_spark.operators import lsh
+    from mnemophonix_spark.operators import verify as ver
+    from mnemophonix_spark.operators.fingerprint import (
+        fingerprint,
+        valid_signatures,
+    )
+    from mnemophonix_spark.streaming import stream_search as ss
+
+    corpus = spark.read.parquet(f"{corpus_dir}/corpus")
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 3)  # several incremental batches
+        .parquet(f"{corpus_dir}/corpus")
+    )
+    q, state = ss.stream_index_maintenance(
+        spark, stream, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    assert q.awaitTermination(600)
+    assert state["corpus"].count() == corpus.count()
+
+    valid = valid_signatures(fingerprint(corpus))
+    verified = ver.verify_pairs(
+        lsh.score_pairs(lsh.candidate_pairs(lsh.explode_bands(valid)), valid),
+        corpus,
+    )
+    batch = {
+        (r["image_id"], r["cluster_id"])
+        for r in comp.assign_clusters(
+            corpus.select("image_id"),
+            comp.connected_components(verified.select("id_a", "id_b")),
+        ).collect()
+    }
+    streamed = {
+        (r["image_id"], r["cluster_id"])
+        for r in state["clusters"].select("image_id", "cluster_id").collect()
+    }
+    assert streamed == batch
