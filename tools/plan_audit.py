@@ -57,6 +57,22 @@ def main() -> None:
             "query side broadcast; corpus streamed once; dot products in "
             "whole-stage codegen (zip_with/aggregate), no Python",
         ),
+        (
+            "doc SimHash pairs (packed engine path)",
+            dedup_text.simhash_pairs(docs),
+            "simhash64_fast: ONE Arrow-batched stage computes the 64-bit "
+            "simhash per doc (no id x word x 64 explode anywhere in the "
+            "plan); only the 4x16-bit band self-join shuffles — one row "
+            "per doc per band",
+        ),
+        (
+            "multi-table LSH ANN top-k (matmul bucket build)",
+            similarity.lsh_ann_topk(emb, emb.filter("vec_id < 8")),
+            "16 bucket tables built by the Arrow-matmul path: no "
+            "dim x plane explode, no Exchange before each (id, bucket) "
+            "table; candidates from bucket equi-joins, exact cosine only "
+            "over the deduplicated survivors",
+        ),
     ]
 
     out = ["# BENCH/PLANS.md — audited physical plans\n"]
