@@ -242,6 +242,7 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 1234,
+    max_bucket_size: int = 100_000,
 ) -> DataFrame:
     """Approximate top-k via MULTI-TABLE hyperplane LSH: candidates are
     vectors sharing a bucket with the query in at least one of
@@ -291,9 +292,23 @@ def lsh_ann_topk(
     q_b = buckets.join(
         qids.withColumnRenamed("qid", "id"), "id", "left_semi"
     ).select(F.col("id").alias("query_id"), "tbl", "bucket")
+    # hot-bucket cap (collision tolerance, same recipe as the image
+    # LSH): a degenerate bucket — e.g. a mass of near-zero vectors all
+    # landing in one cell of one table — would fan every query probing
+    # it out by the bucket size x n_tables.  Buckets over the cap are
+    # dropped from the NEIGHBOR side only (the pair likely co-occurs in
+    # a healthier table); inert below the cap, so the SQL twin is exact
+    # at test scale.
+    from pyspark.sql.window import Window as _W
+
+    wsz = _W.partitionBy("tbl", "bucket")
+    neigh = (
+        buckets.withColumn("bucket_size", F.count("*").over(wsz))
+        .filter(F.col("bucket_size") <= max_bucket_size)
+        .select(F.col("id").alias("neighbor_id"), "tbl", "bucket")
+    )
     cand = (
-        q_b.join(buckets.select(F.col("id").alias("neighbor_id"), "tbl", "bucket"),
-                 ["tbl", "bucket"])
+        q_b.join(neigh, ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()

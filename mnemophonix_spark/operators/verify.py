@@ -44,13 +44,19 @@ def _psnr_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]
         d = batch.to_pydict()
         n = len(d["id_a"])
         psnr = np.zeros(n, dtype=np.float64)
+        # both pair sides decode through the batched path: same-shape
+        # Average/Paeth PNGs across the whole batch share one wavefront
+        decoded = codecs.decode_batch(
+            d["bytes_a"] + d["bytes_b"], d["fmt_a"] + d["fmt_b"]
+        )
         for i in range(n):
-            try:
-                ga = kernels.luma_to_grid(codecs.decode(d["bytes_a"][i], d["fmt_a"][i]))
-                gb = kernels.luma_to_grid(codecs.decode(d["bytes_b"][i], d["fmt_b"][i]))
-                psnr[i] = codecs.psnr(ga * 255.0, gb * 255.0)
-            except codecs.CodecError:
+            da, db = decoded[i], decoded[n + i]
+            if isinstance(da, codecs.CodecError) or isinstance(db, codecs.CodecError):
                 psnr[i] = 0.0
+                continue
+            ga = kernels.luma_to_grid(da)
+            gb = kernels.luma_to_grid(db)
+            psnr[i] = codecs.psnr(ga * 255.0, gb * 255.0)
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array(d["id_a"], pa.string()),

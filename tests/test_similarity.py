@@ -154,3 +154,13 @@ def test_lsh_ann_engine_path_matches_explode(emb, queries, monkeypatch):
     monkeypatch.setattr(C, "LSH_BUCKET_IMPL", "explode")
     slow = set(map(tuple, sim.lsh_ann_topk(emb, queries).collect()))
     assert fast == slow and len(fast) > 0
+
+
+def test_lsh_ann_hot_bucket_cap(emb, queries):
+    """Buckets over the cap are excluded from the candidate join; with a
+    cap of 0 every bucket is hot, so no candidates (and no results)
+    survive — while the default cap is inert on this data."""
+    assert sim.lsh_ann_topk(emb, queries, max_bucket_size=0).count() == 0
+    default = sim.lsh_ann_topk(emb, queries)
+    uncapped = sim.lsh_ann_topk(emb, queries, max_bucket_size=1 << 40)
+    assert set(map(tuple, default.collect())) == set(map(tuple, uncapped.collect()))
