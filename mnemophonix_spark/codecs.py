@@ -4,6 +4,8 @@ Formats:
   - ``bmp``  : 24-bit bottom-up BGR, lossless.
   - ``png``  : 8-bit grayscale, zlib, scanline filters 0-4 on decode
                (encoder emits filter 0), lossless.
+  - ``pgm``  : netpbm P5 (binary) / P2 (ASCII) grayscale, maxval 255,
+               comment-tolerant header, lossless.
   - ``jpeg`` : DETERMINISTIC FAKE LOSSY CODEC.  Real JPEG needs libjpeg,
                which is not in this container, so per the build rules the
                decode is replaced by a deterministic fake: uniform pixel
@@ -83,6 +85,76 @@ def decode_bmp(data: bytes) -> np.ndarray:
         rows = rows[::-1]
     # channel-mean mixdown (wav.c:364-374 analog)
     return rows.astype(np.float32).mean(axis=2)
+
+
+# --------------------------------------------------------------------------
+# PGM (netpbm P5/P2, 8-bit grayscale) — a third REAL container format
+# --------------------------------------------------------------------------
+
+def encode_pgm(gray: np.ndarray, binary: bool = True) -> bytes:
+    """8-bit grayscale netpbm: P5 (binary) or P2 (ASCII)."""
+    h, w = gray.shape
+    g = np.clip(gray, 0, 255).astype(np.uint8)
+    if binary:
+        return f"P5\n{w} {h}\n255\n".encode() + g.tobytes()
+    body = "\n".join(" ".join(str(int(v)) for v in row) for row in g)
+    return f"P2\n{w} {h}\n255\n{body}\n".encode()
+
+
+def _pgm_tokens(data: bytes, n_needed: int) -> tuple[list[bytes], int]:
+    """First ``n_needed`` whitespace tokens after the magic, skipping
+    ``#`` comment lines (netpbm spec); returns (tokens, offset past the
+    single whitespace byte that terminates the last token)."""
+    toks: list[bytes] = []
+    i, n = 2, len(data)
+    while len(toks) < n_needed and i < n:
+        c = data[i : i + 1]
+        if c == b"#":
+            while i < n and data[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not data[j : j + 1].isspace() and data[j : j + 1] != b"#":
+                j += 1
+            toks.append(data[i:j])
+            i = j
+    if len(toks) < n_needed:
+        raise CodecError("truncated PGM header")
+    return toks, i + 1  # consume exactly ONE whitespace after maxval (spec)
+
+
+def decode_pgm(data: bytes) -> np.ndarray:
+    """Strict netpbm grayscale decode (P5 binary, P2 ASCII), maxval 255.
+
+    Real-format coverage beyond BMP/PNG: the header grammar (comments,
+    arbitrary whitespace, single post-maxval delimiter before the P5
+    raster) is the part foreign files actually vary in.
+    """
+    magic = data[:2]
+    if magic not in (b"P5", b"P2"):
+        raise CodecError("not a PGM")
+    toks, off = _pgm_tokens(data, 3)
+    try:
+        w, h, maxval = (int(t) for t in toks)
+    except ValueError:
+        raise CodecError("bad PGM header") from None
+    if w <= 0 or h <= 0:
+        raise CodecError("bad PGM geometry")
+    if maxval != 255:
+        raise CodecError(f"unsupported PGM maxval {maxval}")
+    if magic == b"P5":
+        if off + w * h > len(data):
+            raise CodecError("truncated PGM raster")
+        raw = np.frombuffer(data, dtype=np.uint8, count=w * h, offset=off)
+        return raw.reshape(h, w).astype(np.float32)
+    vals = np.array(data[off - 1 :].split(), dtype=np.int64)
+    if vals.size != w * h:
+        raise CodecError("bad PGM sample count")
+    if vals.min(initial=0) < 0 or vals.max(initial=0) > maxval:
+        raise CodecError("PGM sample out of range")
+    return vals.reshape(h, w).astype(np.float32)
 
 
 # --------------------------------------------------------------------------
@@ -470,8 +542,18 @@ def mixdown(samples: np.ndarray) -> np.ndarray:
 # dispatch
 # --------------------------------------------------------------------------
 
-_DECODERS = {"bmp": decode_bmp, "png": decode_png, "jpeg": decode_fake_jpeg}
-_ENCODERS = {"bmp": encode_bmp, "png": encode_png, "jpeg": encode_fake_jpeg}
+_DECODERS = {
+    "bmp": decode_bmp,
+    "png": decode_png,
+    "jpeg": decode_fake_jpeg,
+    "pgm": decode_pgm,
+}
+_ENCODERS = {
+    "bmp": encode_bmp,
+    "png": encode_png,
+    "jpeg": encode_fake_jpeg,
+    "pgm": encode_pgm,
+}
 
 
 def decode(data: bytes, fmt: str) -> np.ndarray:
@@ -514,6 +596,9 @@ def decode_batch(
         try:
             if fmt == "bmp":
                 results[i] = decode_bmp(data)
+                continue
+            if fmt == "pgm":
+                results[i] = decode_pgm(data)
                 continue
             if fmt == "jpeg":
                 if not data.startswith(_FJPG_MAGIC):

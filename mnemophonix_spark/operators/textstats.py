@@ -170,3 +170,39 @@ def doc_fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
 
     sh = shingles(df, id_col, text_col, k)
     return sh.groupBy("id").agg(F.min(F.md5(F.col("shingle"))).alias("fingerprint"))
+
+
+def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(id, n_tokens, avg_logprob): mean natural-log unigram probability
+    of each document under the corpus's OWN word distribution — the
+    count-based ancestor of LM-perplexity quality filtering (a CCNet-
+    style signal): rare-token/gibberish documents score low, common
+    vocabulary scores high.  avg_logprob = mean over token occurrences
+    of ln(corpus_count(word) / corpus_total_tokens), rounded to 6dp
+    (ulp differences between engines' ln implementations are far below
+    the rounding).
+
+    Scale shape: one exploded word table feeds BOTH the frequency agg
+    and the per-doc join; the frequency table is vocabulary-sized
+    (broadcastable), the total is a 1-row broadcast cross join, and the
+    per-doc mean is a partial-agg groupBy — no all-pairs anything.
+    """
+    from mnemophonix_spark.operators.dedup_text import _words
+
+    words = _words(df, id_col, text_col).select("id", "word")
+    freq = words.groupBy("word").agg(F.count("*").alias("word_count"))
+    total = freq.agg(F.sum("word_count").alias("total_tokens"))
+    return (
+        words.join(F.broadcast(freq), "word")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "id",
+            (F.log(F.col("word_count") / F.col("total_tokens"))).alias("lp"),
+        )
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+    )

@@ -245,3 +245,54 @@ def test_unfilter_batch_matches_single():
             assert np.array_equal(singles[-1], img)
         batched = codecs._unfilter_batch(np.stack(scans), w, h)
         assert np.array_equal(batched, np.stack(singles))
+
+
+def test_pgm_roundtrip_and_header_grammar():
+    import numpy as np
+
+    from mnemophonix_spark import codecs
+
+    rng = np.random.default_rng(21)
+    img = np.round(rng.uniform(0, 255, size=(23, 41))).astype(np.uint8)
+    # P5 and P2 both roundtrip exactly
+    for binary in (True, False):
+        out = codecs.decode_pgm(codecs.encode_pgm(img, binary=binary))
+        assert out.dtype == np.float32 and np.array_equal(out, img.astype(np.float32))
+    # dispatch + fingerprint path
+    assert np.array_equal(codecs.decode(codecs.encode_pgm(img), "pgm"),
+                          img.astype(np.float32))
+    got = codecs.decode_batch([codecs.encode_pgm(img)], ["pgm"])[0]
+    assert np.array_equal(got, img.astype(np.float32))
+    # netpbm header grammar: comments + arbitrary whitespace
+    weird = (b"P5 # magic then comment\n# full comment line\n  41\t23 # dims\n"
+             b"255\n" + img.tobytes())
+    assert np.array_equal(codecs.decode_pgm(weird), img.astype(np.float32))
+    # raster byte that LOOKS like whitespace right after maxval's single
+    # delimiter must be data, not skipped
+    img2 = img.copy()
+    img2[0, 0] = 0x20  # space byte as first raster sample
+    assert codecs.decode_pgm(codecs.encode_pgm(img2))[0, 0] == 0x20
+
+
+def test_pgm_strict_rejects():
+    import numpy as np
+    import pytest
+
+    from mnemophonix_spark import codecs
+
+    img = np.full((4, 4), 7, dtype=np.uint8)
+    good = codecs.encode_pgm(img)
+    with pytest.raises(codecs.CodecError):
+        codecs.decode_pgm(b"P6\n4 4\n255\n" + b"\x00" * 48)  # PPM not PGM
+    with pytest.raises(codecs.CodecError):
+        codecs.decode_pgm(good[:-3])  # truncated raster
+    with pytest.raises(codecs.CodecError):
+        codecs.decode_pgm(b"P5\n4 4\n65535\n" + b"\x00" * 32)  # 16-bit maxval
+    with pytest.raises(codecs.CodecError):
+        codecs.decode_pgm(b"P5\n0 4\n255\n")  # bad geometry
+    with pytest.raises(codecs.CodecError):
+        codecs.decode_pgm(b"P2\n2 2\n255\n1 2 3\n")  # sample count short
+    with pytest.raises(codecs.CodecError):
+        codecs.decode_pgm(b"P2\n2 2\n255\n1 2 3 999\n")  # out of range
+    with pytest.raises(codecs.CodecError):
+        codecs.decode_pgm(b"P5\nx 4\n255\n")  # non-numeric dim

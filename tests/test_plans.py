@@ -134,3 +134,53 @@ def test_whole_stage_codegen_on_relational(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "partial_sum" in plan
     assert "DataFilters: [isnotnull(l_shipdate" in plan
+
+
+def test_bucketed_signature_join_is_shuffle_free(spark):
+    """The 100 TB design claim 'pre-bucket/bucketBy the signature table
+    on its join key for co-located joins' made concrete: joining two
+    tables bucketed by image_id plans a SortMergeJoin with ZERO
+    Exchange (no shuffle), while the identical join on unbucketed data
+    shuffles both sides."""
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix(
+        "file:"
+    )
+    for t in ("bkt_sigs", "bkt_caps", "plain_sigs", "plain_caps"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+
+    a = spark.range(0, 2000).selectExpr(
+        "concat('img', id) AS image_id", "md5(string(id)) AS minhash"
+    )
+    b = spark.range(0, 2000).selectExpr(
+        "concat('img', id) AS image_id", "concat('cap ', id) AS caption"
+    )
+    a.write.bucketBy(8, "image_id").sortBy("image_id").saveAsTable("bkt_sigs")
+    b.write.bucketBy(8, "image_id").sortBy("image_id").saveAsTable("bkt_caps")
+    a.write.saveAsTable("plain_sigs")
+    b.write.saveAsTable("plain_caps")
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def final_plan(df):
+            df.collect()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return plan.split("== Initial Plan ==")[0]
+
+        bucketed = final_plan(
+            spark.table("bkt_sigs").join(spark.table("bkt_caps"), "image_id")
+        )
+        plain = final_plan(
+            spark.table("plain_sigs").join(spark.table("plain_caps"), "image_id")
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in ("bkt_sigs", "bkt_caps", "plain_sigs", "plain_caps"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    assert "SortMergeJoin" in bucketed
+    assert "Exchange" not in bucketed, bucketed
+    assert "Exchange" in plain  # the contrast: unbucketed must shuffle
