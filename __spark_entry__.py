@@ -99,6 +99,7 @@ _RETIRED = (
 # like everything else, just never holding one of the 50 graded slots
 _AUXILIARY = (
     "doc_unigram_logprob",  # CCNet-style unigram-LM quality signal
+    "audio_best_match",     # mnemophonix search top-1 semantics
 )
 
 _OUT_OF_WINDOW = _RETIRED + _AUXILIARY
@@ -381,6 +382,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sigs = mm.audio_entry_signatures(_audio_corpus(spark))
         return mm.entry_match_decisions(sigs)
 
+    def q_audio_best_match(spark, sf):
+        # `mnemophonix search` return semantics: one best accepted
+        # match per query entry (main.c:110-129; see
+        # multimodal.best_match_decisions for the comparator parity note)
+        from mnemophonix_spark.operators import multimodal as mm
+
+        sigs = mm.audio_entry_signatures(_audio_corpus(spark))
+        return mm.best_match_decisions(sigs)
+
     def q_sig_roundtrip(spark, sf):
         # op 18 gate (fingerprintio.c:10-206): signatures -> strict
         # 200-hex text DB -> re-import; the digest of the reimported
@@ -576,6 +586,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": q_ivf_ann,
         # --- auxiliary (post-window additions; see _AUXILIARY) ---------
         "doc_unigram_logprob": q_doc_unigram,
+        "audio_best_match": q_audio_best_match,
     }
 
 
@@ -1335,6 +1346,36 @@ def _all_oracle_sql() -> dict[str, str]:
                    ((count(*) >= 10 OR (avg(score) >= 35 AND count(*) >= 5))
                     AND avg(score) >= 30) AS accepted
             FROM m GROUP BY media_a, media_b
+        """,
+        # search-mode top-1: per query entry, the accepted match with
+        # the best average score (deterministic ties: n_matches desc,
+        # match_id asc) — directed pairs from the frame-sig fixture
+        "audio_best_match": f"""
+            WITH fs AS (
+              SELECT media_id, minhash_md5
+              FROM read_parquet('{FIXTURES}/audio_oracle/frame_sigs.parquet')
+              WHERE NOT is_silence
+            ),
+            agg AS (
+              SELECT a.media_id AS query_id, b.media_id AS match_id,
+                     round(avg(100), 6) AS avg_score, count(*) AS n_matches
+              FROM fs a JOIN fs b
+                ON a.minhash_md5 = b.minhash_md5 AND a.media_id != b.media_id
+              GROUP BY a.media_id, b.media_id
+            ),
+            acc AS (
+              SELECT * FROM agg
+              WHERE (n_matches >= 10 OR (avg_score >= 35 AND n_matches >= 5))
+                AND avg_score >= 30
+            ),
+            r AS (
+              SELECT query_id, match_id, avg_score, n_matches,
+                     row_number() OVER (PARTITION BY query_id
+                        ORDER BY avg_score DESC, n_matches DESC, match_id)
+                       AS rk
+              FROM acc
+            )
+            SELECT query_id, match_id, avg_score, n_matches FROM r WHERE rk = 1
         """,
         # roundtrip through the text DB is the identity on digests
         "sig_roundtrip_digest": f"SELECT image_id, minhash_md5 FROM read_parquet('{img300}/signature_digest.parquet')",

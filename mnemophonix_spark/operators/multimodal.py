@@ -487,3 +487,64 @@ def entry_match_decisions(frame_sigs: DataFrame) -> DataFrame:
             & (avg >= C.MIN_AVERAGE_SCORE),
         )
     )
+
+
+def best_match_decisions(frame_sigs: DataFrame) -> DataFrame:
+    """``mnemophonix search``'s return semantics (main.c:110-129): for
+    each query entry, the single best ACCEPTED database match — the
+    entry with the highest average score among those passing the accept
+    rule (search.c:171-186 scans the ranked entries and keeps the max
+    average_score among accepted ones).
+
+    Parity note: the reference ranks entries with compare_entry_scores
+    (search.c:63-105), which is NOT a consistent total order (its
+    close-score / match-count branches are intransitive), so the C
+    qsort's output order — and with it the top-10 scan cutoff and exact
+    tie choice — is implementation-defined.  What IS well-defined is
+    the selection applied to the candidates: maximum average_score
+    among accepted entries.  This operator implements that, with
+    deterministic ties (n_matches desc, then match_id asc) where the
+    reference leaves the pick to qsort, and without the top-10
+    prefilter — inert whenever a query has <= 10 candidate entries,
+    which holds for non-pathological corpora (more than 10 distinct
+    ACCEPTED matches for one query is already a mass-duplicate signal).
+
+    Output: (query_id, match_id, avg_score, n_matches) — one row per
+    query entry that has an accepted match.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from mnemophonix_spark import config as C
+
+    ok = frame_sigs.filter(
+        F.col("decode_error").isNull() & ~F.col("is_silence")
+    ).select("media_id", "minhash")
+    q = ok.select(F.col("media_id").alias("query_id"), "minhash")
+    d = ok.select(F.col("media_id").alias("match_id"), "minhash")
+    n, avg = F.col("n_matches"), F.col("avg_score")
+    agg = (
+        q.join(d, "minhash")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .withColumn("score", F.lit(100))
+        .groupBy("query_id", "match_id")
+        .agg(
+            F.round(F.avg("score"), 6).alias("avg_score"),
+            F.count("*").alias("n_matches"),
+        )
+        .filter(
+            (
+                (n >= C.MIN_SIGNATURE_MATCHES)
+                | ((avg >= C.GOOD_SCORE) & (n >= C.MIN_SIGNATURE_MATCHES // 2))
+            )
+            & (avg >= C.MIN_AVERAGE_SCORE)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("avg_score"), F.desc("n_matches"), F.asc("match_id")
+    )
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("query_id", "match_id", "avg_score", "n_matches")
+    )

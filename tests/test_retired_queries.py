@@ -68,6 +68,7 @@ def test_active_registry_fits_grading_window(entrymod):
         "media_frame_sigs",
         "ivf_ann_topk",
         "doc_unigram_logprob",  # auxiliary: added after the window filled
+        "audio_best_match",     # auxiliary: search-mode top-1 semantics
     ],
 )
 def test_retired_query_matches_oracle(spark, entrymod, crosscheck, duck, name):

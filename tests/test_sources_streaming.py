@@ -369,3 +369,37 @@ def test_stream_index_maintenance_equals_batch(spark, corpus_dir, tmp_path):
         for r in state["clusters"].select("image_id", "cluster_id").collect()
     }
     assert streamed == batch
+
+
+def test_best_match_selection_rule(spark):
+    """best_match_decisions: max avg_score among ACCEPTED entries per
+    query, ties by n_matches desc then match_id asc; queries with no
+    accepted match emit nothing (NO_MATCH_FOUND, main.c:114)."""
+    from mnemophonix_spark.operators import multimodal as mm
+
+    def frames(media_id, tags):
+        return [(media_id, bytes([t]) * 100, None, False) for t in tags]
+
+    # q matches e1 on 10 frames (n=10, avg 100: accepted), e2 on 6
+    # (accepted via avg>=35 & n>=5), e3 on 4 (n<5: rejected);
+    # q2 matches only e3 on 4 frames -> no accepted match at all
+    rows = (
+        frames("q", range(1, 11)) + frames("e1", range(1, 11))
+        + frames("q", range(20, 26)) + frames("e2", range(20, 26))
+        + frames("q", [40]) + frames("e2", [40])  # 6th shared frame q-e2
+        + frames("q2", range(60, 64)) + frames("e3", range(60, 64))
+    )
+    sigs = spark.createDataFrame(
+        rows, "media_id string, minhash binary, decode_error string, is_silence boolean"
+    )
+    best = {
+        r["query_id"]: (r["match_id"], r["n_matches"])
+        for r in mm.best_match_decisions(sigs).collect()
+    }
+    # q: e1 (n=10) and e2 (n=7: 6+1... both avg 100) accepted -> tie on
+    # avg, n desc picks e1
+    assert best["q"] == ("e1", 10)
+    # symmetric direction: e1's best is q
+    assert best["e1"] == ("q", 10)
+    assert "q2" not in best  # its only candidate was rejected (n=4)
+    assert "e3" not in best
