@@ -296,3 +296,38 @@ def test_pgm_strict_rejects():
         codecs.decode_pgm(b"P2\n2 2\n255\n1 2 3 999\n")  # out of range
     with pytest.raises(codecs.CodecError):
         codecs.decode_pgm(b"P5\nx 4\n255\n")  # non-numeric dim
+
+
+def test_decode_batch_parity_property():
+    """Property: for ANY mix of shapes, per-row filter choices, and
+    formats, decode_batch == per-row decode bitwise (hypothesis sweep)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mnemophonix_spark import codecs
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.data())
+    def run(data):
+        rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+        n = data.draw(st.integers(1, 6))
+        payloads, fmts = [], []
+        for _ in range(n):
+            h = data.draw(st.sampled_from([1, 2, 7, 16, 33]))
+            w = data.draw(st.sampled_from([1, 3, 8, 31]))
+            img = np.round(rng.uniform(0, 255, size=(h, w))).astype(np.uint8)
+            fmt = data.draw(st.sampled_from(["png", "bmp", "jpeg", "pgm"]))
+            if fmt == "png":
+                f = rng.integers(0, 5, size=h).astype(np.uint8)
+                payloads.append(codecs.encode_png(img, row_filters=f))
+            else:
+                payloads.append(codecs.encode(img, fmt))
+            fmts.append(fmt)
+        batch = codecs.decode_batch(payloads, fmts)
+        for p, f, got in zip(payloads, fmts, batch):
+            want = codecs.decode(p, f)
+            assert isinstance(got, np.ndarray)
+            assert got.dtype == want.dtype and np.array_equal(got, want)
+
+    run()

@@ -61,3 +61,29 @@ def test_stopword_df_cap_drops_boilerplate_only_links(spark):
     # 'the'/'common'/'boilerplate' have df 5 > 3 -> capped out
     assert out["i1"] == (99, 2)
     assert "i2" not in out
+
+
+def test_mass_duplicate_captions_stay_bounded(spark):
+    """Pathology guard: thousands of identical captions against a
+    boilerplate-heavy document table must not explode the word join —
+    with the df cap active the candidate set is exactly rare-word
+    links, and the top-1 window bounds output to one row per image."""
+    from pyspark.sql import functions as F
+
+    corpus = spark.range(0, 3000).select(
+        F.concat(F.lit("img"), F.col("id")).alias("image_id"),
+        F.lit("the common boilerplate caption with rare gem words").alias(
+            "caption"
+        ),
+    )
+    docs = spark.createDataFrame(
+        [(i, "the common boilerplate caption with words") for i in range(50)]
+        + [(99, "rare gem")],
+        "doc_id long, text string",
+    )
+    out = crossmodal.caption_doc_links(corpus, docs, max_word_df=10)
+    rows = out.collect()
+    # every image links, exactly once, to the only document carrying
+    # the sub-cap words ('rare', 'gem': df 1 <= 10; all others df 51)
+    assert len(rows) == 3000
+    assert {(r["doc_id"], r["n_shared_words"]) for r in rows} == {(99, 2)}

@@ -78,3 +78,24 @@ def test_retired_query_matches_oracle(spark, entrymod, crosscheck, duck, name):
     ddf = duck.execute(sql).df()
     verdict = crosscheck.compare(sdf, ddf)
     assert verdict == "OK", f"{name}: {verdict}"
+
+
+def test_stream_matches_gate_equals_batch_fixture(spark, entrymod, crosscheck):
+    """Driver-window insurance: the stream_matches gate query at
+    sf0.001 must emit the n120 batch scored-pairs fixture in both
+    orientations (the same equivalence the driver checks at sf0.01)."""
+    import duckdb
+
+    sdf = entrymod.queries()["stream_matches"](spark, SF_DIR).toPandas()
+    sql = """
+        WITH s AS (
+          SELECT id_a, id_b, n_shared_bands, score
+          FROM read_parquet('/root/repo/tests/fixtures/image_oracle_n120/scored_pairs.parquet')
+        )
+        SELECT id_a AS query_id, id_b AS match_id, n_shared_bands, score FROM s
+        UNION ALL
+        SELECT id_b AS query_id, id_a AS match_id, n_shared_bands, score FROM s
+    """
+    ddf = duckdb.connect().execute(sql).df()
+    verdict = crosscheck.compare(sdf, ddf)
+    assert verdict == "OK", verdict

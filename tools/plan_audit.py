@@ -66,6 +66,18 @@ def main() -> None:
             "per doc per band",
         ),
         (
+            "cross-modality caption-doc links",
+            __import__(
+                "mnemophonix_spark.operators.crossmodal", fromlist=["x"]
+            ).caption_doc_links(
+                corpus, spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+            ),
+            "both word tables are DISTINCT (id, word) projections — no "
+            "payload columns shuffle; document-frequency cap bounds "
+            "hot-word join fan-out; top-1 is a per-image window over the "
+            "matched docs only",
+        ),
+        (
             "multi-table LSH ANN top-k (matmul bucket build)",
             similarity.lsh_ann_topk(emb, emb.filter("vec_id < 8")),
             "16 bucket tables built by the Arrow-matmul path: no "
