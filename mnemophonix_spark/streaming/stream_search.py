@@ -27,9 +27,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import threading
+
 from mnemophonix_spark import config as C
 from mnemophonix_spark.operators import lsh
 from mnemophonix_spark.operators.fingerprint import fingerprint, valid_signatures
+
+# the partitionOverwriteMode toggle below is session-global: two
+# streaming queries sharing one SparkSession must not interleave their
+# set/restore or one write could fall back to a static (whole-table)
+# overwrite.  foreachBatch calls are sequential per query but not
+# across queries.
+_write_conf_lock = threading.Lock()
 
 
 def _idempotent_batch_write(matches: DataFrame, batch_id: int,
@@ -53,13 +62,14 @@ def _idempotent_batch_write(matches: DataFrame, batch_id: int,
     # partition); the session conf is the supported switch, restored
     # after the write
     conf = spark.conf
-    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        # positional insertInto: match table column order
-        out.select(*cols).write.mode("overwrite").insertInto(output_table)
-    finally:
-        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    with _write_conf_lock:
+        prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            # positional insertInto: match table column order
+            out.select(*cols).write.mode("overwrite").insertInto(output_table)
+        finally:
+            conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def search_batch(query_corpus: DataFrame, index_signatures: DataFrame) -> DataFrame:
@@ -297,7 +307,7 @@ def stream_index_maintenance(
         # pin the batch rows: batch_df is only valid inside this call,
         # but the index state must outlive it
         batch_local = batch_df.localCheckpoint(eager=True)
-        if batch_local.rdd.isEmpty():
+        if batch_local.isEmpty():
             return
         if "signatures" not in st:
             # bootstrap: first batch is a normal batch dedup
