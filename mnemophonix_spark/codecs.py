@@ -542,17 +542,34 @@ def mixdown(samples: np.ndarray) -> np.ndarray:
 # dispatch
 # --------------------------------------------------------------------------
 
+def _decode_jfif(data: bytes) -> np.ndarray:
+    from mnemophonix_spark import jfif
+
+    return jfif.decode_jfif(data)
+
+
+def _encode_jfif(gray: np.ndarray, quality: int = 90) -> bytes:
+    from mnemophonix_spark import jfif
+
+    return jfif.encode_jfif(gray, quality)
+
+
 _DECODERS = {
     "bmp": decode_bmp,
     "png": decode_png,
     "jpeg": decode_fake_jpeg,
     "pgm": decode_pgm,
+    # REAL baseline JPEG (T.81 grayscale, mnemophonix_spark.jfif) —
+    # its own format key so the FJPG-based `jpeg` corpus fixtures stay
+    # byte-stable while a genuine lossy bitstream is supported
+    "jfif": _decode_jfif,
 }
 _ENCODERS = {
     "bmp": encode_bmp,
     "png": encode_png,
     "jpeg": encode_fake_jpeg,
     "pgm": encode_pgm,
+    "jfif": _encode_jfif,
 }
 
 
@@ -599,6 +616,9 @@ def decode_batch(
                 continue
             if fmt == "pgm":
                 results[i] = decode_pgm(data)
+                continue
+            if fmt == "jfif":
+                results[i] = _decode_jfif(data)
                 continue
             if fmt == "jpeg":
                 if not data.startswith(_FJPG_MAGIC):

@@ -1,0 +1,110 @@
+"""Real baseline-JPEG (JFIF) grayscale codec."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mnemophonix_spark import codecs, jfif
+
+
+@pytest.fixture(scope="module")
+def textured():
+    rng = np.random.default_rng(3)
+    yy, xx = np.mgrid[0:64, 0:96]
+    img = (
+        128 + 60 * np.sin(xx / 9.0) + 40 * np.cos(yy / 7.0)
+        + rng.normal(0, 6, (64, 96))
+    ).clip(0, 255)
+    return np.round(img).astype(np.uint8)
+
+
+def test_roundtrip_psnr_curve(textured):
+    """Monotone quality->PSNR, with the north-star 40 dB bound at q=95
+    on noisy-texture content and real compression happening."""
+    last = 0.0
+    for q in (75, 90, 95):
+        data = jfif.encode_jfif(textured, quality=q)
+        out = jfif.decode_jfif(data)
+        p = codecs.psnr(textured.astype(float), out.astype(float))
+        assert p > last
+        last = p
+        # actually compressed (noisy texture at q=95 lands ~2:1)
+        assert len(data) < (textured.size // 2 if q <= 90 else textured.size)
+    assert last >= 40.0
+
+
+def test_quality_100_near_lossless():
+    """Unit quant tables leave only coefficient rounding: max error < 1
+    intensity level — pins the DCT/quant/Huffman loop as exact."""
+    rng = np.random.default_rng(5)
+    img = np.round(rng.uniform(0, 255, (32, 32))).astype(np.uint8)
+    out = jfif.decode_jfif(jfif.encode_jfif(img, quality=100))
+    assert np.abs(out - img).max() < 1.0
+
+
+def test_odd_dimensions_and_flat_blocks():
+    rng = np.random.default_rng(7)
+    img = np.round(rng.uniform(0, 255, (37, 51))).astype(np.uint8)
+    out = jfif.decode_jfif(jfif.encode_jfif(img, 95))
+    assert out.shape == (37, 51)
+    assert codecs.psnr(img.astype(float), out.astype(float)) >= 40.0
+    flat = np.full((16, 24), 200, np.uint8)  # EOB-only AC blocks
+    outf = jfif.decode_jfif(jfif.encode_jfif(flat, 90))
+    assert np.abs(outf - 200).max() < 1.0
+
+
+def test_dispatch_and_decode_batch(textured):
+    data = jfif.encode_jfif(textured, 95)
+    want = jfif.decode_jfif(data)
+    assert np.array_equal(codecs.decode(data, "jfif"), want)
+    got = codecs.decode_batch([data, b"garbage"], ["jfif", "jfif"])
+    assert np.array_equal(got[0], want)
+    assert isinstance(got[1], codecs.CodecError)
+    assert np.array_equal(codecs.encode(textured, "jfif", quality=95), data)
+
+
+def test_strict_rejects(textured):
+    good = jfif.encode_jfif(textured, 90)
+    with pytest.raises(codecs.CodecError):
+        jfif.decode_jfif(b"\x00\x00not a jpeg")
+    with pytest.raises(codecs.CodecError):
+        jfif.decode_jfif(good[: len(good) // 2])  # truncated scan
+    # progressive SOF2 must be rejected, not mis-decoded
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(codecs.CodecError):
+        jfif.decode_jfif(prog)
+    # 3-component SOF claims a color image -> reject
+    i = good.find(b"\xff\xc0")
+    bad_ncomp = good[: i + 9] + b"\x03" + good[i + 10 :]
+    with pytest.raises(codecs.CodecError):
+        jfif.decode_jfif(bad_ncomp)
+    # missing SOS (headers only)
+    sos = good.find(b"\xff\xda")
+    with pytest.raises(codecs.CodecError):
+        jfif.decode_jfif(good[:sos] + b"\xff\xd9")
+
+
+def test_property_roundtrip_bounded_error():
+    """Property: for any image and quality >= 85, per-pixel error stays
+    within the quantization-table bound (coarse but format-wide)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        seed=st.integers(0, 2**31),
+        h=st.sampled_from([8, 9, 16, 24, 31]),
+        w=st.sampled_from([8, 13, 16, 40]),
+        q=st.sampled_from([85, 92, 100]),
+    )
+    def run(seed, h, w, q):
+        rng = np.random.default_rng(seed)
+        img = np.round(rng.uniform(0, 255, (h, w))).astype(np.uint8)
+        out = jfif.decode_jfif(jfif.encode_jfif(img, q))
+        assert out.shape == (h, w)
+        # max spatial error <= sum over coeffs of q_k/2 * |basis| is
+        # loose; a practical format-wide envelope at q>=85 is ~40 levels
+        assert np.abs(out - img).max() <= 40.0
+
+    run()
