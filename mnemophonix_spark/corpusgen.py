@@ -112,7 +112,7 @@ def _encode_row(image_id: str, luma: np.ndarray, w: int, h: int, fmt: str,
     from mnemophonix_spark.functions.kernels import area_resize
 
     pixels = np.clip(area_resize(luma, h, w), 0, 255).astype(np.float64)
-    kw = {"quality": quality} if fmt == "jpeg" else {}
+    kw = {"quality": quality} if fmt in ("jpeg", "jfif") else {}
     data = codecs.encode(pixels, fmt, **kw)
     return {
         "image_id": image_id,
@@ -125,7 +125,15 @@ def _encode_row(image_id: str, luma: np.ndarray, w: int, h: int, fmt: str,
     }
 
 
-def generate(n_rows: int, seed: int = SEED, id_offset: int = 0) -> Corpus:
+def generate(n_rows: int, seed: int = SEED, id_offset: int = 0,
+             fmt_choices: list[str] | None = None) -> Corpus:
+    # custom fmt mixes (e.g. the real jfif/pgm codecs) build their own
+    # corpora for tests; the default list keeps every cached corpus and
+    # image fixture byte-identical
+    fmts = list(fmt_choices) if fmt_choices else FMT_CHOICES
+    # the lossy kind prefers the REAL baseline-JPEG codec when the fmt
+    # mix carries it; the default mix keeps the fixture-stable FJPG key
+    lossy_fmt = "jfif" if "jfif" in fmts else "jpeg"
     rng = np.random.default_rng(seed)
     corpus = Corpus()
     n_dup_rows = int(n_rows * 0.10)
@@ -143,7 +151,7 @@ def generate(n_rows: int, seed: int = SEED, id_offset: int = 0) -> Corpus:
         base_caption = _caption(rng)
         base_w = int(rng.choice(W_CHOICES))
         base_h = int(rng.choice(H_CHOICES))
-        base_fmt = str(rng.choice(FMT_CHOICES))
+        base_fmt = str(rng.choice(fmts))
         base_id = f"img{i:08d}"
         corpus.rows.append(
             _encode_row(base_id, base, base_w, base_h, base_fmt, base_caption, rng)
@@ -155,12 +163,12 @@ def generate(n_rows: int, seed: int = SEED, id_offset: int = 0) -> Corpus:
             vid = f"img{i:08d}"
             i += 1
             if kind == 1:  # exact re-encode, different fmt
-                other = [f for f in FMT_CHOICES if f != base_fmt]
+                other = [f for f in fmts if f != base_fmt] or fmts
                 fmt = str(rng.choice(other))
                 row = _encode_row(vid, base, base_w, base_h, fmt, _caption(rng), rng)
             elif kind == 2:  # lossy re-encode
                 q = int(rng.choice([90, 95]))
-                row = _encode_row(vid, base, base_w, base_h, "jpeg",
+                row = _encode_row(vid, base, base_w, base_h, lossy_fmt,
                                   _caption(rng), rng, quality=q)
             elif kind == 3:  # mild noise on <=5% of pixels
                 noisy = base.copy()
@@ -200,7 +208,7 @@ def generate(n_rows: int, seed: int = SEED, id_offset: int = 0) -> Corpus:
                 _base_image(rng),
                 int(rng.choice(W_CHOICES)),
                 int(rng.choice(H_CHOICES)),
-                str(rng.choice(FMT_CHOICES)),
+                str(rng.choice(fmts)),
                 _caption(rng),
                 rng,
             )
@@ -223,7 +231,8 @@ def corpus_schema() -> pa.schema:
 
 
 def write_corpus(out_dir: str, n_rows: int, seed: int = SEED,
-                 n_files: int = 8) -> Corpus:
+                 n_files: int = 8,
+                 fmt_choices: list[str] | None = None) -> Corpus:
     """Write corpus + truth tables as parquet under out_dir.
 
     Multiple row groups / files so local[32] gets >=64 tasks at bench
@@ -231,7 +240,7 @@ def write_corpus(out_dir: str, n_rows: int, seed: int = SEED,
     """
     corpus_sub = os.path.join(out_dir, "corpus")
     os.makedirs(corpus_sub, exist_ok=True)
-    corpus = generate(n_rows, seed)
+    corpus = generate(n_rows, seed, fmt_choices=fmt_choices)
     schema = corpus_schema()
     chunks = np.array_split(np.arange(len(corpus.rows)), max(1, n_files))
     for fi, chunk in enumerate(chunks):

@@ -395,3 +395,60 @@ def test_default_threshold_selects_driver_path_for_small_edges(spark, monkeypatc
     assert default == forced == {
         ("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")
     }
+
+
+def test_real_format_corpus_end_to_end(spark, tmp_path):
+    """The full dedup stack over a corpus of REAL formats only — actual
+    baseline JPEG (jfif), netpbm (pgm), and PNG — must recover the
+    planted image-chain pairs at the recall contract, proving the new
+    codecs through fingerprint -> LSH -> score -> verify -> cluster,
+    not just through codec roundtrips."""
+    import pyarrow.parquet as pq
+
+    from mnemophonix_spark import corpusgen
+    from mnemophonix_spark.operators import components as comp
+    from mnemophonix_spark.operators import lsh
+    from mnemophonix_spark.operators import verify as ver
+    from mnemophonix_spark.operators.fingerprint import (
+        fingerprint,
+        valid_signatures,
+    )
+
+    out = str(tmp_path / "realfmt")
+    c = corpusgen.write_corpus(out, 120, seed=11,
+                               fmt_choices=["jfif", "pgm", "png"])
+    fmts = {r["fmt"] for r in c.rows}
+    assert fmts == {"jfif", "pgm", "png"}
+
+    corpus = spark.read.parquet(f"{out}/corpus")
+    sigs = fingerprint(corpus).persist()
+    assert sigs.filter("decode_error is not null").count() == 0
+    valid = valid_signatures(sigs)
+    verified = ver.verify_pairs(
+        lsh.score_pairs(lsh.candidate_pairs(lsh.explode_bands(valid)), valid),
+        corpus,
+    )
+    found = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+
+    truth_rows = pq.read_table(f"{out}/truth_pairs.parquet").to_pylist()
+    img_truth = {(r["id_a"], r["id_b"]) for r in truth_rows
+                 if r["kind"] in (1, 2, 3, 4)}
+    # recall contract on fingerprintable pairs (silence-gated members
+    # are out of scope, same rule as BENCH/RECALL.md)
+    gated = {
+        r["image_id"]
+        for r in sigs.filter("is_silence or degenerate").collect()
+    }
+    scoreable = {(a, b) for a, b in img_truth
+                 if a not in gated and b not in gated}
+    hit = len(scoreable & found)
+    assert scoreable and hit / len(scoreable) >= 0.99, (
+        f"{hit}/{len(scoreable)} real-format pairs found"
+    )
+    # clusters assemble over the real-format pairs too
+    clusters = comp.assign_clusters(
+        corpus.select("image_id"),
+        comp.connected_components(verified.select("id_a", "id_b")),
+    )
+    assert clusters.count() == 120
+    sigs.unpersist()
