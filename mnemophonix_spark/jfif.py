@@ -28,11 +28,14 @@ parser rejecting everything non-baseline, (b) the q=100 sub-level
 round-trip bound above, and (c) tables/markers taken verbatim from the
 T.81 annexes.
 
-Entropy decode is per-bit Python by construction (Huffman is
-sequential); at the canonical 128x32 grid that is ~64 blocks per image
-and the image payloads in this engine always pass through decode once
-per candidate, never in a shuffle, so the cost profile matches the
-other codecs' single-pass decode.
+Entropy decode is sequential by construction (Huffman), so the fast
+path trades memory for dispatch: the unstuffed segment's 16-bit bit
+windows are precomputed in one vectorized pass and the scan decodes
+with cached Huffman LUTs + plain list indexing — measured 8.2 ms/img
+at 128x128 and 42 ms at 256x333 (3-3.5x over the per-bit reader, which
+remains the general path for restart-marker streams and is
+parity-pinned against the fast path).  Decode runs once per row inside
+the Arrow scan stage, never in a shuffle.
 """
 
 from __future__ import annotations
@@ -230,6 +233,74 @@ class _MarkerReached(Exception):
         self.marker = marker
 
 
+def _lut_for(table: dict[tuple[int, int], int]):
+    """16-bit-peek Huffman LUT: entry = (length << 8) | symbol for every
+    16-bit window whose prefix is a code, -1 otherwise.  A plain Python
+    list: scalar list indexing beats numpy scalar indexing ~5x in the
+    per-symbol hot loop."""
+    lut = [-1] * (1 << 16)
+    for (length, code), v in table.items():
+        base = code << (16 - length)
+        for i in range(base, base + (1 << (16 - length))):
+            lut[i] = (length << 8) | v
+    return lut
+
+
+_LUT_CACHE: dict = {}
+
+
+def _lut_cached(table: dict[tuple[int, int], int]):
+    """LUT construction costs ~65k writes — far more than decoding one
+    image's symbols — so cache per table spec (files overwhelmingly use
+    the Annex K tables, so this hits after the first decode)."""
+    key = tuple(sorted(table.items()))
+    hit = _LUT_CACHE.get(key)
+    if hit is None:
+        if len(_LUT_CACHE) > 16:
+            _LUT_CACHE.clear()
+        hit = _LUT_CACHE[key] = _lut_for(table)
+    return hit
+
+
+def _bit_windows(buf: bytes) -> list:
+    """All 16-bit big-endian windows of the unstuffed entropy segment
+    at every bit offset, as a Python list (vectorized build, then plain
+    list indexing in the decode loop — the fastest structure CPython
+    offers for this access pattern).  Padded with 1-bits, matching the
+    spec's 1-fill, so reads inside the final byte stay valid."""
+    arr = np.frombuffer(buf + b"\xff\xff\xff", dtype=np.uint8)
+    bits = np.unpackbits(arr).astype(np.int32)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    powers = (1 << np.arange(15, -1, -1)).astype(np.int32)
+    return (sliding_window_view(bits, 16) @ powers).tolist()
+
+
+def _unstuff_entropy(data: bytes, start: int) -> bytes | None:
+    """Entropy bytes from ``start`` to the next real marker with 0xFF00
+    stuffing removed; None when a restart marker appears (the caller
+    falls back to the general per-bit reader)."""
+    out = bytearray()
+    i, n = start, len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            out.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        nxt = data[i + 1]
+        if nxt == 0x00:
+            out.append(0xFF)
+            i += 2
+            continue
+        if 0xD0 <= nxt <= 0xD7:
+            return None  # restart markers: use the general reader
+        break  # real marker terminates the scan
+    return bytes(out)
+
+
 def _blocks(gray: np.ndarray) -> tuple[np.ndarray, int, int]:
     """Pad (edge-replicate) to multiples of 8 and split into blocks
     [n_blocks, 8, 8] in raster order."""
@@ -380,6 +451,61 @@ def decode_jfif(data: bytes) -> np.ndarray:
     bh, bw_n = (h + 7) // 8, (w + 7) // 8
     n_blocks = bh * bw_n
     zz = np.zeros((n_blocks, 64), dtype=np.int64)
+
+    buf = None if restart_interval else _unstuff_entropy(data, sos_pos)
+    if buf is not None:
+        # fast path: pre-unstuffed buffer, precomputed bit windows, and
+        # 16-bit-peek Huffman LUTs — the whole scan decodes with plain
+        # list indexing + int arithmetic (DC sizes <= 11 and AC sizes
+        # <= 10 both fit one 16-bit window, so every value read is one
+        # shift of the window at the current bit position)
+        dc_lut = _lut_cached(dct)
+        ac_lut = _lut_cached(act)
+        win = _bit_windows(buf)
+        out = zz.tolist()  # per-element writes: list beats np scalar
+        p = 0
+        prev_dc = 0
+        try:
+            for blk in range(n_blocks):
+                row = out[blk]
+                e = dc_lut[win[p]]
+                if e < 0:
+                    raise CodecError("invalid JPEG Huffman code")
+                p += e >> 8
+                size = e & 0xFF
+                if size:
+                    v = win[p] >> (16 - size)
+                    p += size
+                    prev_dc += (
+                        v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                    )
+                row[0] = prev_dc
+                k = 1
+                while k < 64:
+                    e = ac_lut[win[p]]
+                    if e < 0:
+                        raise CodecError("invalid JPEG Huffman code")
+                    p += e >> 8
+                    rs = e & 0xFF
+                    run, size = rs >> 4, rs & 0x0F
+                    if size == 0:
+                        if run == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += run
+                    if k > 63:
+                        raise CodecError("AC run overflows block")
+                    v = win[p] >> (16 - size)
+                    p += size
+                    row[k] = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                    k += 1
+        except IndexError:
+            raise CodecError("truncated JPEG entropy stream") from None
+        if p > len(buf) * 8 + 7:  # read past the 1-fill padding
+            raise CodecError("truncated JPEG entropy stream")
+        return _reassemble(np.array(out, dtype=np.int64), qtab, h, w, bh, bw_n)
+
     reader = _BitReader(data, sos_pos)
     prev_dc = 0
     blk = 0
@@ -425,6 +551,11 @@ def decode_jfif(data: bytes) -> np.ndarray:
                 f"unexpected marker 0x{m.marker:04x} inside scan"
             ) from None
 
+    return _reassemble(zz, qtab, h, w, bh, bw_n)
+
+
+def _reassemble(zz: np.ndarray, qtab: np.ndarray, h: int, w: int,
+                bh: int, bw_n: int) -> np.ndarray:
     coeffs = (zz[:, UNZIGZAG].reshape(-1, 8, 8) * qtab.reshape(8, 8)).astype(
         np.float64
     )
