@@ -73,6 +73,130 @@ def decode_fake_video(data: bytes) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
+# REAL video container: MJPEG-in-AVI (RIFF walk like the WAV parser,
+# real baseline-JFIF frames via mnemophonix_spark.jfif)
+# --------------------------------------------------------------------------
+
+def encode_avi_mjpeg(frames: np.ndarray, quality: int = 95,
+                     fps: int = 10) -> bytes:
+    """[n, h, w] grayscale frames -> a real AVI file with an MJPG video
+    stream (each frame a standalone baseline JFIF image).  Grayscale
+    baseline only — the subset this engine's JFIF codec implements."""
+    from mnemophonix_spark import jfif
+
+    n, h, w = frames.shape
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def list_chunk(fourcc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + body)
+
+    payloads = [
+        jfif.encode_jfif(np.clip(frames[i], 0, 255).astype(np.uint8), quality)
+        for i in range(n)
+    ]
+    avih = struct.pack(
+        "<10I4I",
+        1_000_000 // max(1, fps), 0, 0, 0x10, n, 0, 1,
+        max(len(p) for p in payloads), w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, 0, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 8, b"MJPG",
+                       w * h, 0, 0, 0, 0)
+    hdrl = list_chunk(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(chunk(b"00dc", p) for p in payloads)
+    movi = list_chunk(b"movi", movi_body)
+    # idx1: offsets relative to the 'movi' fourcc position (the common
+    # convention), keyframe flag on every MJPEG frame
+    idx = bytearray()
+    off = 4
+    for p in payloads:
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(p))
+        off += 8 + len(p) + (len(p) % 2)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(data: bytes) -> np.ndarray:
+    """Strict AVI/MJPG decode -> [n, h, w] float32 frames.
+
+    RIFF chunk walk mirroring the WAV parser's strictness (wav.c:88-146
+    analog): validates the AVI fourcc, requires a vids/MJPG stream,
+    decodes every 00dc/00db chunk as baseline JFIF, and cross-checks
+    frame shapes and counts against the header."""
+    from mnemophonix_spark.codecs import CodecError
+    from mnemophonix_spark import jfif
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise CodecError("not an AVI")
+
+    def walk(start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            fourcc = data[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", data, pos + 4)
+            body_start = pos + 8
+            if body_start + size > end:
+                raise CodecError("truncated AVI chunk")
+            yield fourcc, body_start, size
+            pos = body_start + size + (size % 2)
+
+    n_declared = width = height = -1
+    handler_ok = False
+    frames: list[np.ndarray] = []
+    for fourcc, start, size in walk(12, min(len(data), 8 + struct.unpack_from("<I", data, 4)[0])):
+        if fourcc != b"LIST":
+            continue
+        ltype = data[start : start + 4]
+        if ltype == b"hdrl":
+            for f2, s2, sz2 in walk(start + 4, start + size):
+                if f2 == b"avih":
+                    vals = struct.unpack_from("<10I", data, s2)
+                    n_declared, width, height = vals[4], vals[8], vals[9]
+                elif f2 == b"LIST" and data[s2 : s2 + 4] == b"strl":
+                    for f3, s3, sz3 in walk(s2 + 4, s2 + sz2):
+                        if f3 == b"strh":
+                            if data[s3 : s3 + 4] != b"vids":
+                                raise CodecError("first AVI stream not video")
+                            if data[s3 + 4 : s3 + 8] not in (b"MJPG", b"mjpg"):
+                                raise CodecError("AVI codec is not MJPG")
+                            handler_ok = True
+        elif ltype == b"movi":
+            for f2, s2, sz2 in walk(start + 4, start + size):
+                if f2[2:4] in (b"dc", b"db"):
+                    frames.append(jfif.decode_jfif(data[s2 : s2 + sz2]))
+    if not handler_ok:
+        raise CodecError("AVI has no MJPG video stream header")
+    if not frames:
+        raise CodecError("AVI has no frames")
+    shapes = {f.shape for f in frames}
+    if shapes != {(height, width)}:
+        raise CodecError(f"AVI frame shapes {shapes} != header {(height, width)}")
+    if n_declared >= 0 and len(frames) != n_declared:
+        raise CodecError(
+            f"AVI frame count {len(frames)} != header {n_declared}"
+        )
+    return np.stack(frames)
+
+
+def decode_video(data: bytes) -> np.ndarray:
+    """Video payload dispatch: real MJPEG-AVI, else the FVID stand-in."""
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return decode_avi_mjpeg(data)
+    return decode_fake_video(data)
+
+
+# --------------------------------------------------------------------------
 # Spark plumbing (real): frame sampling + per-frame fingerprints
 # --------------------------------------------------------------------------
 
@@ -100,6 +224,7 @@ def video_frame_signatures(
     """
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from mnemophonix_spark.codecs import CodecError
         from mnemophonix_spark.functions import kernels
 
         for batch in batches:
@@ -111,8 +236,10 @@ def video_frame_signatures(
             errs: list[tuple[str, str]] = []
             for mid, data in zip(ids, payloads):
                 try:
-                    frames = decode_fake_video(data)
-                except UnsupportedModality as exc:
+                    # real MJPEG-AVI or the FVID stand-in; malformed
+                    # payloads of either kind quarantine
+                    frames = decode_video(data)
+                except (UnsupportedModality, CodecError) as exc:
                     errs.append((mid, str(exc)))
                     continue
                 for k in range(0, frames.shape[0], every_nth):

@@ -403,3 +403,50 @@ def test_best_match_selection_rule(spark):
     assert best["e1"] == ("q", 10)
     assert "q2" not in best  # its only candidate was rejected (n=4)
     assert "e3" not in best
+
+
+def test_avi_mjpeg_video_frames_end_to_end(spark):
+    """REAL video container through the frame-signature chain: MJPEG
+    AVI payloads (real RIFF walk + real baseline-JFIF frames) decode,
+    fingerprint per sampled frame, and a planted AVI clone is accepted
+    by the per-entry match rule alongside FVID rows; corrupt AVI
+    quarantines."""
+    import numpy as np
+
+    from mnemophonix_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(12)
+    # low-frequency content (synthesize_media recipe): full-res noise
+    # averages flat under the canonical 128x32 resize and trips the
+    # silence gate, so frames are coarse noise upsampled 8x
+    frames = np.kron(rng.uniform(0, 255, size=(24, 6, 8)),
+                     np.ones((1, 8, 8))).round()
+    avi = mm.encode_avi_mjpeg(frames, quality=95)
+    # clone: same AVI bytes under a different id -> every sampled frame
+    # signature matches exactly
+    other = np.kron(rng.uniform(0, 255, size=(24, 6, 8)),
+                    np.ones((1, 8, 8))).round()
+    rows = [
+        ("avi_base", bytearray(avi)),
+        ("avi_clone", bytearray(avi)),
+        ("avi_other", bytearray(mm.encode_avi_mjpeg(other, quality=95))),
+        ("fvid0", bytearray(mm.encode_fake_video(frames))),
+        ("bad_avi", bytearray(b"RIFF\x10\x00\x00\x00AVI " + b"\x00" * 16)),
+    ]
+    media = spark.createDataFrame(rows, "media_id string, bytes binary")
+    sigs = mm.video_frame_signatures(media, every_nth=2)
+    got = sigs.collect()
+    by_media = {}
+    for r in got:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert [r["decode_error"] for r in by_media["bad_avi"]] != [None]
+    assert all(r["decode_error"] is None for r in by_media["avi_base"])
+    assert len(by_media["avi_base"]) == 12  # 24 frames, every 2nd
+    # decisions: the AVI clone is accepted against its base; the
+    # unrelated AVI is not paired with either
+    dec = {
+        (r["media_a"], r["media_b"]): r["accepted"]
+        for r in mm.entry_match_decisions(sigs).collect()
+    }
+    assert dec.get(("avi_base", "avi_clone")) is True
+    assert not any("avi_other" in k for k in dec)
