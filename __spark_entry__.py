@@ -1642,16 +1642,18 @@ def _all_oracle_sql() -> dict[str, str]:
                      regexp_replace(trim(lower(caption)), '\\s+', ' ', 'g') AS cap
               FROM read_parquet('{CACHE_ROOT}/corpus_n300_s42/corpus/part-*.parquet')
             ),
-            cw AS (
+            cw0 AS (
               SELECT DISTINCT image_id,
                      unnest(string_split(cap, ' ')) AS word
               FROM cap WHERE length(cap) > 0
             ),
-            dw AS (
+            cw AS (SELECT * FROM cw0 WHERE word <> ''),
+            dw0 AS (
               SELECT DISTINCT doc_id,
                      unnest(string_split_regex(lower(text), '\\s+')) AS word
               FROM documents
             ),
+            dw AS (SELECT * FROM dw0 WHERE word <> ''),
             common AS (
               SELECT cw.image_id, dw.doc_id, count(*) AS n_shared_words
               FROM cw JOIN dw ON cw.word = dw.word

@@ -377,7 +377,27 @@ def encode_jfif(gray: np.ndarray, quality: int = 90) -> bytes:
 
 
 def decode_jfif(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> grayscale float32 [h, w] in [0, 255]."""
+    """Baseline JFIF bytes -> grayscale float32 [h, w] in [0, 255].
+
+    Every malformed-input failure mode surfaces as CodecError so the
+    Spark decode operators can quarantine the row: the marker parser
+    raises CodecError for everything it validates explicitly, and this
+    wrapper converts the residual low-level faults a crafted/truncated
+    stream can still trigger (struct.error on a short SOF body,
+    IndexError from a DHT whose code counts overflow the LUT, stray
+    _MarkerReached escaping the scan) — one corrupt foreign file must
+    never fail the task (round-3 advice, verified by
+    tests/test_codecs.py::test_jfif_malformed_quarantines)."""
+    try:
+        return _decode_jfif(data)
+    except CodecError:
+        raise
+    except (struct.error, IndexError, ValueError, KeyError,
+            _MarkerReached) as exc:
+        raise CodecError(f"malformed JFIF: {exc!r}") from None
+
+
+def _decode_jfif(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise CodecError("not a JPEG (no SOI)")
     pos = 2

@@ -51,12 +51,17 @@ def caption_doc_links(
     """
     from mnemophonix_spark.operators.captions import _normalized
 
+    # empty tokens are filtered on BOTH sides: an empty/whitespace-only
+    # caption normalizes to '' and would otherwise equi-join the ''
+    # tokens that documents with leading/trailing whitespace emit,
+    # linking unrelated rows on a zero-content key (round-3 advice)
     cap_words = (
         _normalized(corpus, id_col=id_col, caption_col=caption_col)
         .select(
             F.col("id").alias("image_id"),
             F.explode(F.split("cap", " ")).alias("word"),
         )
+        .filter(F.col("word") != "")
         .distinct()
     )
     doc_words = (
@@ -64,6 +69,7 @@ def caption_doc_links(
             F.col(doc_id_col).alias("doc_id"),
             F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"),
         )
+        .filter(F.col("word") != "")
         .distinct()
     )
     # stop-word cap on the JOIN side only (same recipe as the Jaccard

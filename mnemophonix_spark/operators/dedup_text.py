@@ -303,52 +303,84 @@ def simhash64_fast(df: DataFrame, id_col: str = DOC_ID,
     The explode formulation shuffles 64 rows per word occurrence —
     3-4 orders of magnitude of shuffle amplification on web documents
     (the engine's biggest remaining shuffle amplifier per the round-2
-    review).  Here each distinct word hashes once per batch (md5 ->
-    uint64 of the first 16 hex chars; bit b of the simhash is bit
-    (63-b) of that integer, exactly the explode version's nibble
-    arithmetic), the 64-bit unpack is one NumPy shift, and the word
-    multiset reduces with a single scatter-add — zero shuffles before
-    the one-row-per-doc result.  Tokenization matches F.split(lower,
-    '\\s+') including the empty strings Spark emits for leading /
-    trailing whitespace.  Parity with the explode oracle is pinned by
-    tests/test_dedup_text.py::test_simhash64_fast_parity.
+    review).  Tokenization (split on '\\s+' + lower) happens JVM-SIDE,
+    so the word boundaries and case folding are the oracle's own Java
+    semantics by construction — Python's Unicode-aware re.split/lower
+    diverged on U+00A0-class whitespace and locale case chars (round-3
+    advice).  The UDF then hashes the BATCH's unique-word set once
+    (md5 digests joined and reinterpreted as big-endian uint64 — the
+    int-of-first-16-hex-chars value — with a worker-global cross-batch
+    cache), unpacks bits with one NumPy shift, and reduces each doc's
+    word multiset with a single segmented reduceat — zero shuffles
+    before the one-row-per-doc result.  Parity with the explode oracle
+    is pinned by tests/test_dedup_text.py::test_simhash64_fast_parity
+    (including a Unicode whitespace/case document).
     """
     from pyspark.sql import types as T
 
     @F.pandas_udf(T.StringType())
-    def simhash_udf(texts):
+    def simhash_udf(word_arrays):
         import hashlib
-        import re
 
         import numpy as np
         import pandas as pd
 
-        if not len(texts):
+        ndocs = len(word_arrays)
+        if not ndocs:
             return pd.Series([], dtype="object")
         shifts = (63 - np.arange(64)).astype(np.uint64)
-        out = []
-        cache: dict[str, int] = {}
-        for text in texts:
-            words = re.split(r"\s+", ("" if text is None else text).lower())
-            uniq, counts = np.unique(np.asarray(words, dtype=object),
-                                     return_counts=True)
-            vals = np.empty(uniq.size, dtype=np.uint64)
-            for i, w in enumerate(uniq):
-                v = cache.get(w)
-                if v is None:
-                    v = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:16], 16)
-                    cache[w] = v
+        docs = [
+            np.asarray(w if w is not None else [""], dtype=object)
+            for w in word_arrays
+        ]
+        lens = np.array([d.size for d in docs], dtype=np.int64)
+        flat = np.concatenate(docs)
+        uniq, inv = np.unique(flat, return_inverse=True)
+        cache = _simhash_word_cache()
+        vals = np.empty(uniq.size, dtype=np.uint64)
+        miss = []
+        for i, w in enumerate(uniq):
+            v = cache.get(w)
+            if v is None:
+                miss.append(i)
+            else:
                 vals[i] = v
-            bits = ((vals[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
-            # s_b = sum over multiset of (2*bit - 1) = 2*sum(c*bit) - n
-            s = 2 * (counts[:, None] * bits).sum(axis=0) - int(counts.sum())
-            out.append("".join("1" if x > 0 else "0" for x in s))
-        return pd.Series(out)
+        if miss:
+            md5 = hashlib.md5
+            words = [uniq[i] for i in miss]
+            # one joined-digest pass: md5(w)[:8] big-endian == the
+            # explode oracle's conv(substring(md5_hex, 1, 16), 16, 10)
+            digests = b"".join(md5(w.encode("utf-8")).digest()[:8] for w in words)
+            mvals = np.frombuffer(digests, dtype=">u8").astype(np.uint64)
+            vals[miss] = mvals
+            for w, v in zip(words, mvals.tolist()):
+                cache[w] = v
+        # s[doc, b] = sum over multiset of (2*bit - 1) = 2*sum(bit) - n
+        word_bits = ((vals[:, None] >> shifts) & np.uint64(1)).astype(
+            np.int64
+        )[inv]
+        offsets = np.zeros(ndocs, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        s = 2 * np.add.reduceat(word_bits, offsets, axis=0) - lens[:, None]
+        chars = np.where(s > 0, 49, 48).astype(np.uint8).tobytes()
+        return pd.Series(
+            [chars[i * 64 : (i + 1) * 64].decode("ascii") for i in range(ndocs)]
+        )
 
+    words_col = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     return _fanout_rebalance(df).select(
         F.col(id_col).alias("id"),
-        simhash_udf(F.col(text_col)).alias("simhash"),
+        simhash_udf(words_col).alias("simhash"),
     )
+
+
+def _simhash_word_cache(_cache: dict = {}, _max: int = 1 << 20) -> dict:
+    """Worker-process-global word -> uint64 hash cache shared across
+    Arrow batches (natural text reuses most of its vocabulary between
+    batches).  Bounded: cleared when it would exceed ~1M entries."""
+    if len(_cache) > _max:
+        _cache.clear()
+    return _cache
 
 
 def simhash64_engine(df: DataFrame, id_col: str = DOC_ID,

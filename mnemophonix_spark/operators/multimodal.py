@@ -154,27 +154,40 @@ def decode_avi_mjpeg(data: bytes) -> np.ndarray:
     n_declared = width = height = -1
     handler_ok = False
     frames: list[np.ndarray] = []
-    for fourcc, start, size in walk(12, min(len(data), 8 + struct.unpack_from("<I", data, 4)[0])):
-        if fourcc != b"LIST":
-            continue
-        ltype = data[start : start + 4]
-        if ltype == b"hdrl":
-            for f2, s2, sz2 in walk(start + 4, start + size):
-                if f2 == b"avih":
-                    vals = struct.unpack_from("<10I", data, s2)
-                    n_declared, width, height = vals[4], vals[8], vals[9]
-                elif f2 == b"LIST" and data[s2 : s2 + 4] == b"strl":
-                    for f3, s3, sz3 in walk(s2 + 4, s2 + sz2):
-                        if f3 == b"strh":
-                            if data[s3 : s3 + 4] != b"vids":
-                                raise CodecError("first AVI stream not video")
-                            if data[s3 + 4 : s3 + 8] not in (b"MJPG", b"mjpg"):
-                                raise CodecError("AVI codec is not MJPG")
-                            handler_ok = True
-        elif ltype == b"movi":
-            for f2, s2, sz2 in walk(start + 4, start + size):
-                if f2[2:4] in (b"dc", b"db"):
-                    frames.append(jfif.decode_jfif(data[s2 : s2 + sz2]))
+    # the walk converts short/garbage chunk bodies to CodecError so one
+    # malformed foreign file quarantines its row instead of failing the
+    # Spark task (round-3 advice): declared sizes are checked before any
+    # unpack_from, and residual struct/index faults map to CodecError
+    try:
+        for fourcc, start, size in walk(12, min(len(data), 8 + struct.unpack_from("<I", data, 4)[0])):
+            if fourcc != b"LIST":
+                continue
+            ltype = data[start : start + 4]
+            if ltype == b"hdrl":
+                for f2, s2, sz2 in walk(start + 4, start + size):
+                    if f2 == b"avih":
+                        if sz2 < 40:
+                            raise CodecError("short avih chunk")
+                        vals = struct.unpack_from("<10I", data, s2)
+                        n_declared, width, height = vals[4], vals[8], vals[9]
+                    elif f2 == b"LIST" and data[s2 : s2 + 4] == b"strl":
+                        for f3, s3, sz3 in walk(s2 + 4, s2 + sz2):
+                            if f3 == b"strh":
+                                if sz3 < 8:
+                                    raise CodecError("short strh chunk")
+                                if data[s3 : s3 + 4] != b"vids":
+                                    raise CodecError("first AVI stream not video")
+                                if data[s3 + 4 : s3 + 8] not in (b"MJPG", b"mjpg"):
+                                    raise CodecError("AVI codec is not MJPG")
+                                handler_ok = True
+            elif ltype == b"movi":
+                for f2, s2, sz2 in walk(start + 4, start + size):
+                    if f2[2:4] in (b"dc", b"db"):
+                        frames.append(jfif.decode_jfif(data[s2 : s2 + sz2]))
+    except CodecError:
+        raise
+    except (struct.error, IndexError, ValueError) as exc:
+        raise CodecError(f"malformed AVI: {exc}") from None
     if not handler_ok:
         raise CodecError("AVI has no MJPG video stream header")
     if not frames:

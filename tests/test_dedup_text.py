@@ -128,6 +128,11 @@ def test_simhash64_fast_parity(spark):
             (4, "single"),
             (5, "MiXeD Case TOKENS mixed case tokens"),
             (6, "tabs\tand\nnewlines   collapse"),
+            # Unicode hazards (round-3 advice): U+00A0 / U+2028 are
+            # whitespace to Python's re but NOT to Java's \s — they must
+            # stay inside tokens; U+0130 exercises locale case folding.
+            (7, "nbsp joined and linesep tokens"),
+            (8, "İstanbul STRASSE straße İSTANBUL"),
         ],
         "doc_id long, text string",
     )

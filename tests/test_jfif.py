@@ -85,6 +85,94 @@ def test_strict_rejects(textured):
         jfif.decode_jfif(good[:sos] + b"\xff\xd9")
 
 
+def test_jfif_malformed_quarantines(textured):
+    """Malformed streams must raise CodecError — never struct.error /
+    IndexError / ValueError — so the Spark operators quarantine the row
+    instead of failing the task (round-3 advice repros)."""
+    import struct
+
+    good = jfif.encode_jfif(textured, 90)
+
+    # 1. truncated SOF0 body: declared length 4 leaves a 2-byte body,
+    #    shorter than the 6-byte ">BHHB" header unpack
+    i = good.find(b"\xff\xc0")
+    short_sof = (
+        good[: i + 2] + struct.pack(">H", 4) + good[i + 4 : i + 6] + good[i + 9 :]
+    )
+    with pytest.raises(codecs.CodecError):
+        jfif.decode_jfif(short_sof)
+
+    # 2. DHT body shorter than 17 bytes (bits list < 16 entries)
+    j = good.find(b"\xff\xc4")
+    tiny_dht = good[:j] + b"\xff\xc4" + struct.pack(">H", 6) + b"\x00\x01\x02\x03" + good[j:]
+    with pytest.raises(codecs.CodecError):
+        jfif.decode_jfif(tiny_dht)
+
+    # 3. DHT declaring more same-length codes than the length can hold
+    #    (generated codes overflow the 16-bit LUT)
+    bits = bytes([4] + [0] * 15)
+    vals = bytes([0, 1, 2, 3])
+    bad_dht = (
+        b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(vals)) + b"\x00" + bits + vals
+    )
+    # inserted just before SOS so it is the LAST (dc, 0) table parsed
+    k = good.find(b"\xff\xda")
+    with pytest.raises(codecs.CodecError):
+        jfif.decode_jfif(good[:k] + bad_dht + good[k:])
+
+    # 4. deterministic single-byte corruption sweep: decode must either
+    #    succeed or raise CodecError, never anything else
+    for pos in range(2, len(good), max(1, len(good) // 60)):
+        corrupted = good[:pos] + bytes([good[pos] ^ 0xFF]) + good[pos + 1 :]
+        try:
+            out = jfif.decode_jfif(corrupted)
+            assert isinstance(out, np.ndarray)
+        except codecs.CodecError:
+            pass
+
+    # 5. truncation sweep
+    for cut in range(2, len(good), max(1, len(good) // 20)):
+        try:
+            jfif.decode_jfif(good[:cut])
+        except codecs.CodecError:
+            pass
+
+
+def test_avi_malformed_quarantines():
+    """Short avih/strh chunk bodies and corrupted containers raise
+    CodecError (round-3 advice: struct.error escaped the quarantine)."""
+    import struct
+
+    from mnemophonix_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(11)
+    coarse = np.round(rng.uniform(0, 255, (3, 4, 6))).astype(np.uint8)
+    frames = np.kron(coarse, np.ones((1, 8, 8))).astype(np.uint8)
+    good = mm.encode_avi_mjpeg(frames, quality=95)
+    assert mm.decode_avi_mjpeg(good).shape == frames.shape
+
+    # avih declaring a body smaller than the 40 bytes <10I needs
+    i = good.find(b"avih")
+    short_avih = good[: i + 4] + struct.pack("<I", 16) + good[i + 8 :]
+    with pytest.raises(codecs.CodecError):
+        mm.decode_avi_mjpeg(short_avih)
+
+    # strh shorter than the 8 bytes the fccType/handler check reads
+    j = good.find(b"strh")
+    short_strh = good[: j + 4] + struct.pack("<I", 4) + good[j + 8 :]
+    with pytest.raises(codecs.CodecError):
+        mm.decode_avi_mjpeg(short_strh)
+
+    # corruption sweep: CodecError or a decoded array, nothing else
+    for pos in range(12, len(good), max(1, len(good) // 40)):
+        corrupted = good[:pos] + bytes([good[pos] ^ 0xFF]) + good[pos + 1 :]
+        try:
+            out = mm.decode_avi_mjpeg(corrupted)
+            assert isinstance(out, np.ndarray)
+        except codecs.CodecError:
+            pass
+
+
 def test_property_roundtrip_bounded_error():
     """Property: for any image and quality >= 85, per-pixel error stays
     within the quantization-table bound (coarse but format-wide)."""
