@@ -425,10 +425,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         corpus_dir = corpusgen.ensure_corpus(CACHE_ROOT, _corpus_rows_for(sf))
         corpus = spark.read.parquet(f"{corpus_dir}/corpus").persist()
-        ids = sorted(r["image_id"] for r in corpus.select("image_id").collect())
-        half = set(ids[::2])
-        old_corpus = corpus.filter(F.col("image_id").isin(half))
-        new_corpus = corpus.filter(~F.col("image_id").isin(half))
+        # deterministic hash split — no driver collect, works at any
+        # scale (replaces the round-2 collect()+isin literal list)
+        is_old = F.pmod(F.xxhash64(F.col("image_id")), F.lit(2)) == 0
+        old_corpus = corpus.filter(is_old)
+        new_corpus = corpus.filter(~is_old)
         old_sigs = fingerprint(old_corpus).persist()
         old_valid = valid_signatures(old_sigs)
         old_verified = ver.verify_pairs(
