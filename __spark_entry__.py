@@ -92,6 +92,12 @@ _RETIRED = (
                                 # exactly gated by audio_frame_sigs
     "ivf_ann_topk",             # probe/scan skeleton subsumed by the
                                 # trained kmeans_ivf_ann_topk twin
+    "event_type_pivot",         # round 4: ceded its tier-5 slot to
+                                # stream_index_clusters (per the round-3
+                                # verdict's window policy); the pivot's
+                                # groupBy-count machinery is exercised by
+                                # the graded events_stream_rollup /
+                                # events_stream_sliding_window twins
 )
 
 
@@ -511,6 +517,36 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _image_corpus(spark, sf), _read(spark, sf, "documents")
         )
 
+    def q_stream_index_clusters(spark, sf):
+        # living-index driver gate (round-3 verdict item 3): the corpus
+        # streamed in micro-batches through stream_index_maintenance
+        # (bootstrap batch, then per-batch incremental appends that
+        # never re-fingerprint old rows) must END in exactly the batch
+        # clusters fixture — the strongest streaming equivalence the
+        # engine claims, previously pytest-only
+        import tempfile
+
+        from mnemophonix_spark import corpusgen
+        from mnemophonix_spark.streaming import stream_search as ss
+
+        corpus_dir = corpusgen.ensure_corpus(CACHE_ROOT, _corpus_rows_for(sf))
+        schema = spark.read.parquet(f"{corpus_dir}/corpus").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 3)  # several incremental batches
+            .parquet(f"{corpus_dir}/corpus")
+        )
+        q, state = ss.stream_index_maintenance(
+            spark, stream,
+            checkpoint_dir=tempfile.mkdtemp(prefix="stream_index_ckpt"),
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "stream_index_clusters: availableNow run incomplete"
+            )
+        return state["clusters"].select("image_id", "cluster_id")
+
     def q_img_bands(spark, sf):
         from mnemophonix_spark.operators import lsh
         from mnemophonix_spark.operators.fingerprint import (
@@ -529,6 +565,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_dup_pairs": q_phash_dup_pairs,
         "stream_matches": q_stream_matches,
         "crossmodal_links": q_crossmodal_links,
+        "stream_index_clusters": q_stream_index_clusters,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "doc_fused_clusters": q_doc_fused_clusters,
         "emb_lsh_ann_topk": q_emb_lsh_ann,
@@ -1320,6 +1357,8 @@ def _all_oracle_sql() -> dict[str, str]:
         "img_clusters": f"SELECT image_id, cluster_id FROM read_parquet('{img300}/clusters.parquet')",
         # the incremental path must reproduce the batch fixture exactly
         "img_clusters_incremental": f"SELECT image_id, cluster_id FROM read_parquet('{img300}/clusters.parquet')",
+        # the living streaming index must END in the batch fixture too
+        "stream_index_clusters": f"SELECT image_id, cluster_id FROM read_parquet('{img300}/clusters.parquet')",
         "img_bands": f"SELECT band_id, band_hash, image_id FROM read_parquet('{img300}/bands.parquet')",
         "media_frame_sigs": f"SELECT media_id, frame_idx, minhash_md5, is_silence FROM read_parquet('{FIXTURES}/multimodal_oracle/frame_sigs.parquet')",
         # audio chain (ops 1-17 in the reference's native domain):

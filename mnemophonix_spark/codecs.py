@@ -608,6 +608,7 @@ def decode_batch(
     n = len(payloads)
     results: list[np.ndarray | CodecError | None] = [None] * n
     groups: dict[tuple[int, int], list[tuple[int, np.ndarray]]] = {}
+    jfif_idx: list[int] = []
     for i in range(n):
         data, fmt = payloads[i], fmts[i]
         try:
@@ -618,7 +619,7 @@ def decode_batch(
                 results[i] = decode_pgm(data)
                 continue
             if fmt == "jfif":
-                results[i] = _decode_jfif(data)
+                jfif_idx.append(i)
                 continue
             if fmt == "jpeg":
                 if not data.startswith(_FJPG_MAGIC):
@@ -645,6 +646,24 @@ def decode_batch(
         outs = _unfilter_batch(np.stack([s for _, s in items]), w, h)
         for j, (i, _) in enumerate(items):
             results[i] = outs[j].astype(np.float32)
+    if jfif_idx:
+        from mnemophonix_spark import jfif as _jfif
+
+        # all the batch's JFIF rows decode through ONE lockstep pass
+        # (every restart segment a lane of the same vectorized state
+        # machine); any malformed/foreign stream aborts the joint pass,
+        # and those rows fall back to per-image decode so quarantine
+        # stays per-row
+        try:
+            outs2 = _jfif.decode_jfif_batch([payloads[i] for i in jfif_idx])
+            for i, out in zip(jfif_idx, outs2):
+                results[i] = out
+        except CodecError:
+            for i in jfif_idx:
+                try:
+                    results[i] = _jfif.decode_jfif(payloads[i])
+                except CodecError as e:
+                    results[i] = e
     return results  # type: ignore[return-value]
 
 

@@ -31,7 +31,12 @@ from mnemophonix_spark import codecs
 SEED = 42
 W_CHOICES = [64, 128, 256, 333]
 H_CHOICES = [64, 128, 256, 217]
-FMT_CHOICES = ["png", "jpeg", "bmp"]
+# round 4: the DEFAULT (graded + bench) mix carries the REAL formats —
+# baseline JFIF (T.81, DRI=1 lockstep-decodable) and netpbm PGM —
+# alongside png/bmp and the FJPG stand-in; with "jfif" present the
+# lossy duplicate kind (2) also encodes through the real JPEG codec.
+# Image fixtures and cached corpora regenerate with this list.
+FMT_CHOICES = ["png", "jpeg", "bmp", "jfif", "pgm"]
 
 _WORDS = [
     f"w{i:03d}" for i in range(446)
@@ -127,9 +132,9 @@ def _encode_row(image_id: str, luma: np.ndarray, w: int, h: int, fmt: str,
 
 def generate(n_rows: int, seed: int = SEED, id_offset: int = 0,
              fmt_choices: list[str] | None = None) -> Corpus:
-    # custom fmt mixes (e.g. the real jfif/pgm codecs) build their own
-    # corpora for tests; the default list keeps every cached corpus and
-    # image fixture byte-identical
+    # custom fmt mixes build their own corpora for tests; the default
+    # list (real jfif/pgm included since round 4) is what the graded
+    # fixtures and bench corpora are generated from
     fmts = list(fmt_choices) if fmt_choices else FMT_CHOICES
     # the lossy kind prefers the REAL baseline-JPEG codec when the fmt
     # mix carries it; the default mix keeps the fixture-stable FJPG key

@@ -28,14 +28,21 @@ parser rejecting everything non-baseline, (b) the q=100 sub-level
 round-trip bound above, and (c) tables/markers taken verbatim from the
 T.81 annexes.
 
-Entropy decode is sequential by construction (Huffman), so the fast
-path trades memory for dispatch: the unstuffed segment's 16-bit bit
-windows are precomputed in one vectorized pass and the scan decodes
-with cached Huffman LUTs + plain list indexing — measured 8.2 ms/img
-at 128x128 and 42 ms at 256x333 (3-3.5x over the per-bit reader, which
-remains the general path for restart-marker streams and is
-parity-pinned against the fast path).  Decode runs once per row inside
-the Arrow scan stage, never in a shuffle.
+Entropy decode is bit-serial WITHIN a restart segment (Huffman), so
+the encoder defaults to DRI=1 — every MCU behind its own byte-aligned
+RSTn marker — and the decoder runs all segments as parallel lanes of
+ONE vectorized NumPy state machine (_lockstep_interval1): each
+iteration gathers one Huffman symbol for every active lane through a
+combined DC/AC LUT, so a scan finishes in tens of vectorized
+iterations instead of a Python loop per symbol.  decode_jfif_batch
+extends the same machine across EVERY image in an Arrow batch, which
+amortizes the per-iteration dispatch to ~0.6-1.4 ms/img on corpus
+content (vs 8.2 ms/img for the round-3 per-symbol list path at
+128x128, and 42 ms at 256x333).  Foreign streams keep three fallbacks,
+all parity-pinned: the general lockstep for restart intervals > 1, the
+16-bit-window list path for unsegmented scans (bounded by
+_WINDOWS_MAX_BYTES), and the per-bit reader.  Decode runs once per row
+inside the Arrow scan stage, never in a shuffle.
 """
 
 from __future__ import annotations
@@ -92,6 +99,61 @@ AC_LUMA_VALS = [
     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
 ]
+
+
+# --- Annex K.1 chrominance quantization table -----------------------------
+QTABLE_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# --- Annex K.3 Huffman table specs (chrominance DC / AC) ------------------
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+# --- JFIF (BT.601 full-range) color transforms ----------------------------
+
+def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """[h, w, 3] RGB -> [h, w, 3] YCbCr, full range (JFIF Annex)."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    """[h, w, 3] YCbCr -> [h, w, 3] RGB in [0, 255]."""
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255)
 
 
 def _huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
@@ -262,6 +324,47 @@ def _lut_cached(table: dict[tuple[int, int], int]):
     return hit
 
 
+_LUT_NP_CACHE: dict = {}
+
+
+def _lut_np_cached(dc: dict, ac: dict) -> np.ndarray:
+    """Combined int32 LUT for the lockstep decoder: entries 0..65535 are
+    the DC table, 65536..131071 the AC table, so one gather with a
+    per-lane offset (0 or 65536) decodes either phase.  Keyed by table
+    object identity — _parse_headers interns decoder dicts by their DHT
+    spec bytes, so identical tables across files share one dict and
+    this lookup is O(1) per decode (the cache pins the dict refs, so
+    ids stay valid for its lifetime)."""
+    key = (id(dc), id(ac))
+    hit = _LUT_NP_CACHE.get(key)
+    if hit is None:
+        if len(_LUT_NP_CACHE) > 16:
+            _LUT_NP_CACHE.clear()
+        lut = np.concatenate(
+            [np.asarray(_lut_cached(dc), dtype=np.int32),
+             np.asarray(_lut_cached(ac), dtype=np.int32)]
+        )
+        _LUT_NP_CACHE[key] = (lut, dc, ac)
+        return lut
+    return hit[0]
+
+
+_DHT_CACHE: dict = {}
+
+
+def _dht_cached(spec: bytes, bits: list[int], vals: list[int]) -> dict:
+    """Intern Huffman decoder dicts by their DHT spec bytes: files
+    overwhelmingly carry the Annex K tables, so per-image header parses
+    reuse one dict (and one downstream LUT) instead of rebuilding a
+    ~200-entry table per file."""
+    hit = _DHT_CACHE.get(spec)
+    if hit is None:
+        if len(_DHT_CACHE) > 64:
+            _DHT_CACHE.clear()
+        hit = _DHT_CACHE[spec] = _huffman_decoder(bits, vals)
+    return hit
+
+
 def _bit_windows(buf: bytes) -> list:
     """All 16-bit big-endian windows of the unstuffed entropy segment
     at every bit offset, as a Python list (vectorized build, then plain
@@ -301,6 +404,313 @@ def _unstuff_entropy(data: bytes, start: int) -> bytes | None:
     return bytes(out)
 
 
+# --- restart-segmented lockstep entropy decode ----------------------------
+#
+# Huffman decoding is bit-serial WITHIN a segment, but restart markers
+# (T.81 B.2.1.2) byte-align the stream and reset DC prediction, making
+# every restart segment independently decodable.  This engine's encoder
+# emits DRI=1 (one MCU per segment), so an image's blocks decode as
+# parallel LANES of one vectorized NumPy state machine: each iteration
+# gathers one Huffman symbol for EVERY active lane through a combined
+# DC/AC LUT, extracts its magnitude bits, and scatters coefficients —
+# the whole scan completes in <= ~70 vectorized iterations regardless
+# of block count, instead of a Python loop per symbol.  Foreign streams
+# with restart markers take the same path when they have enough
+# segments to amortize the per-iteration dispatch.
+
+_SEGMENT_MIN_LANES = 8  # below this the per-bit reader is faster
+
+# the non-restart fast path materializes one boxed-int window per bit
+# (~300x the unstuffed size); bound it so a multi-MB foreign JPEG can't
+# balloon executor memory before geometry checks run (round-3 advice) —
+# beyond this the general per-bit reader decodes with O(1) memory
+_WINDOWS_MAX_BYTES = 512 << 10
+
+
+def _find_restart_markers(data: bytes, start: int) -> tuple[list[int], int]:
+    """Byte offsets of RST0-7 markers inside the scan plus the scan's
+    end offset (the first real non-restart marker).  Entropy-coded data
+    escapes 0xFF as 0xFF00, so any 0xFF followed by 0xD0-0xD7 IS a
+    restart marker — no bit-level decode needed to segment the scan."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    ff = np.nonzero(arr[start:-1] == 0xFF)[0].astype(np.int64) + start
+    if ff.size == 0:
+        return [], len(data)
+    nxt = arr[ff + 1]
+    is_rst = (nxt >= 0xD0) & (nxt <= 0xD7)
+    real = (nxt != 0x00) & ~is_rst
+    end = int(ff[real][0]) if real.any() else len(data)
+    return ff[is_rst & (ff < end)].tolist(), end
+
+
+def _segment_scan_i1(data: bytes, sos_pos: int,
+                     n_blocks: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized unstuff + segmentation of a DRI=1 scan: one NumPy
+    pass deletes the stuffed 0x00s and the RSTn marker bytes, and
+    searchsorted arithmetic yields every segment's compacted offset —
+    no per-segment Python loop.  Returns (unstuffed uint8 array,
+    per-segment start byte offsets, per-segment unstuffed lengths)."""
+    markers, end = _find_restart_markers(data, sos_pos)
+    if len(markers) + 1 != n_blocks:
+        raise CodecError("restart segmentation inconsistent with frame size")
+    arr = np.frombuffer(data, dtype=np.uint8)[sos_pos:end]
+    m = np.asarray(markers, dtype=np.int64) - sos_pos
+    ff = np.nonzero(arr[:-1] == 0xFF)[0]
+    z = ff[arr[ff + 1] == 0] + 1  # stuffed zeros to delete
+    dmask = np.zeros(arr.size, dtype=bool)
+    dmask[z] = True
+    dmask[m] = True
+    dmask[m + 1] = True
+    out = arr[~dmask]
+    starts = np.concatenate([np.zeros(1, np.int64), m + 2])
+    ends = np.concatenate([m, np.asarray([arr.size], np.int64)])
+    zcnt_s = np.searchsorted(z, starts)
+    u_starts = starts - zcnt_s - 2 * np.arange(n_blocks, dtype=np.int64)
+    u_lens = (ends - starts) - (np.searchsorted(z, ends) - zcnt_s)
+    return out, u_starts, u_lens
+
+
+def _lockstep_interval1(w24: np.ndarray, lut2: np.ndarray,
+                        dc_base: np.ndarray, pos: np.ndarray,
+                        blk: np.ndarray, limit: np.ndarray,
+                        zz: np.ndarray,
+                        end_pos: np.ndarray | None = None) -> None:
+    """The lockstep state machine for one-MCU-per-segment lanes: every
+    lane decodes exactly one block — a vectorized DC step, then one AC
+    symbol per iteration for all still-active lanes.  ``dc_base`` is a
+    per-lane offset selecting the lane's (DC, AC) LUT pair inside the
+    concatenated ``lut2``, so lanes from different images (and
+    different Huffman tables) share the same gather.  Scatters
+    coefficients into ``zz`` in place; raises CodecError on any
+    malformed lane (callers needing per-image quarantine fall back to
+    per-image decode).  When ``end_pos`` is given, each lane's bit
+    position after its block is scattered there (indexed by the lane's
+    initial order) — the color decoder chains phases (Y -> Cb -> Cr of
+    every MCU) by feeding one phase's end positions to the next."""
+    # DC: prediction resets at every restart, so with one MCU per
+    # segment the diff IS the DC value
+    w = (w24[pos >> 3] >> (8 - (pos & 7))) & 0xFFFF
+    e = lut2[dc_base + w]
+    if (e < 0).any():
+        raise CodecError("invalid JPEG Huffman code")
+    clen = e >> 8
+    size = e & 0xFF
+    vpos = pos + clen
+    vraw = ((w24[vpos >> 3] >> (8 - (vpos & 7))) & 0xFFFF) >> (16 - size)
+    mag = 1 << size
+    zz[blk, 0] = vraw - (vraw < mag >> 1) * (mag - 1)  # F.2.2.1 EXTEND
+    pos = vpos + size
+    ac_base = dc_base + 65536
+    k = np.ones(pos.size, dtype=np.int64)
+    lane = np.arange(pos.size, dtype=np.int64)
+    while True:
+        w = (w24[pos >> 3] >> (8 - (pos & 7))) & 0xFFFF
+        e = lut2[ac_base + w]
+        if (e < 0).any():
+            raise CodecError("invalid JPEG Huffman code")
+        clen = e >> 8
+        rs = e & 0xFF
+        size = rs & 0x0F
+        vpos = pos + clen
+        vraw = ((w24[vpos >> 3] >> (8 - (vpos & 7))) & 0xFFFF) >> (16 - size)
+        mag = 1 << size
+        val = vraw - (vraw < mag >> 1) * (mag - 1)
+        pos = vpos + size
+        kw = k + (rs >> 4)
+        # EOB (rs 0x00) and ZRL (rs 0xF0) have size 0 and never write;
+        # a ZRL advancing k past 63 legally ends the block (the
+        # original per-symbol loop exits the same way without error)
+        wm = size > 0
+        if ((kw > 63) & wm).any():
+            raise CodecError("AC run overflows block")
+        zz[blk[wm], kw[wm]] = val[wm]
+        k = kw + 1  # ZRL: k+15+1 == k+16; EOB lanes retire below
+        done = (rs == 0) | (k >= 64)
+        if done.any():
+            if (pos[done] > limit[done]).any():
+                raise CodecError("truncated JPEG entropy stream")
+            if end_pos is not None:
+                end_pos[lane[done]] = pos[done]
+            keep = ~done
+            if not keep.any():
+                return
+            pos, blk, k, lane = pos[keep], blk[keep], k[keep], lane[keep]
+            limit, ac_base = limit[keep], ac_base[keep]
+
+
+def _pad_w24(out: np.ndarray) -> np.ndarray:
+    """Unstuffed scan bytes -> 24-bit sliding byte windows (int64): the
+    16-bit window at bit p is (w24[p >> 3] >> (8 - (p & 7))) & 0xFFFF.
+    Padded with 1-bits like the spec's 1-fill so end-of-segment peeks
+    stay in bounds."""
+    buf = np.concatenate([out, np.full(3, 0xFF, np.uint8)]).astype(np.int64)
+    return (buf[:-2] << 16) | (buf[1:-1] << 8) | buf[2:]
+
+
+def decode_jfif_batch(datas: list[bytes]) -> list[np.ndarray]:
+    """Decode MANY baseline JFIF images in ONE lockstep pass.
+
+    All images' restart segments become lanes of the same vectorized
+    state machine, so the fixed per-iteration NumPy dispatch cost — the
+    dominant term for a single small image — amortizes over the whole
+    Arrow batch.  Requires every stream to be DRI=1 (this encoder's
+    default output); raises CodecError for foreign intervals or any
+    malformed stream, and the caller (codecs.decode_batch) falls back
+    to per-image decode_jfif so quarantine stays per-row."""
+    try:
+        return _decode_jfif_batch(datas)
+    except CodecError:
+        raise
+    except (struct.error, IndexError, ValueError, KeyError,
+            _MarkerReached) as exc:
+        raise CodecError(f"malformed JFIF in batch: {exc!r}") from None
+
+
+def _decode_jfif_batch(datas: list[bytes]) -> list[np.ndarray]:
+    metas = []
+    for data in datas:
+        comps, h, w, ri, sos = _parse_headers(data)
+        if ri != 1 or len(comps) != 1:
+            raise CodecError("jfif batch path requires grayscale DRI=1")
+        qtab, dct, act = comps[0]
+        metas.append((qtab, dct, act, h, w, sos))
+    lut_parts: list[np.ndarray] = []
+    pair_idx: dict = {}
+    base_of_img = []
+    for (_, dct, act, _, _, _) in metas:
+        key = (id(dct), id(act))  # tables are interned by _parse_headers
+        i = pair_idx.get(key)
+        if i is None:
+            i = pair_idx[key] = len(lut_parts)
+            lut_parts.append(_lut_np_cached(dct, act))
+        base_of_img.append(i * 131072)
+    lut2 = lut_parts[0] if len(lut_parts) == 1 else np.concatenate(lut_parts)
+    chunks, pos_l, limit_l, base_l = [], [], [], []
+    shapes = []
+    total_bytes = 0
+    total_blocks = 0
+    for (qtab, dct, act, h, w, sos), data, base in zip(metas, datas, base_of_img):
+        bh, bwn = (h + 7) // 8, (w + 7) // 8
+        nb = bh * bwn
+        out, us, ul = _segment_scan_i1(data, sos, nb)
+        chunks.append(out)
+        pos_l.append((us + total_bytes) * 8)
+        limit_l.append((us + ul + total_bytes) * 8)
+        base_l.append(np.full(nb, base, dtype=np.int64))
+        shapes.append((qtab, h, w, bh, bwn, total_blocks, nb))
+        total_bytes += out.size
+        total_blocks += nb
+    w24 = _pad_w24(np.concatenate(chunks))
+    zz = np.zeros((total_blocks, 64), dtype=np.int64)
+    _lockstep_interval1(
+        w24, lut2, np.concatenate(base_l), np.concatenate(pos_l),
+        np.arange(total_blocks, dtype=np.int64), np.concatenate(limit_l), zz
+    )
+    return [
+        _reassemble(zz[off : off + nb], qtab, h, w, bh, bwn)
+        for (qtab, h, w, bh, bwn, off, nb) in shapes
+    ]
+
+
+def _decode_scan_segmented(data: bytes, sos_pos: int, dct: dict, act: dict,
+                           n_blocks: int, interval: int) -> np.ndarray | None:
+    """Lockstep decode of a restart-segmented scan -> zigzag coeff
+    matrix [n_blocks, 64], or None when the stream has too few segments
+    for the vectorized path to pay off."""
+    if interval == 1:
+        if n_blocks < _SEGMENT_MIN_LANES:
+            return None
+        out, u_starts, u_lens = _segment_scan_i1(data, sos_pos, n_blocks)
+        w24 = _pad_w24(out)
+        zz = np.zeros((n_blocks, 64), dtype=np.int64)
+        _lockstep_interval1(
+            w24, _lut_np_cached(dct, act),
+            np.zeros(n_blocks, dtype=np.int64), u_starts * 8,
+            np.arange(n_blocks, dtype=np.int64), (u_starts + u_lens) * 8, zz
+        )
+        return zz
+
+    markers, end = _find_restart_markers(data, sos_pos)
+    bounds = []
+    prev = sos_pos
+    for m in markers:
+        bounds.append((prev, m))
+        prev = m + 2
+    bounds.append((prev, end))
+    n_seg = len(bounds)
+    if n_seg < _SEGMENT_MIN_LANES:
+        return None
+    exp_last = n_blocks - interval * (n_seg - 1)
+    if exp_last < 1 or exp_last > interval:
+        raise CodecError("restart segmentation inconsistent with frame size")
+
+    # unstuff each segment and pack them back to back (segments are
+    # byte-aligned, so lane bit positions are just 8x byte offsets)
+    bufs = []
+    seg_start = np.empty(n_seg, dtype=np.int64)
+    bit_limit = np.empty(n_seg, dtype=np.int64)
+    total = 0
+    for si, (a, b) in enumerate(bounds):
+        seg = data[a:b].replace(b"\xff\x00", b"\xff")
+        bufs.append(seg)
+        seg_start[si] = total * 8
+        bit_limit[si] = (total + len(seg)) * 8
+        total += len(seg)
+    buf = b"".join(bufs) + b"\xff\xff\xff"
+    # 24-bit byte windows: the 16-bit window at bit p is
+    # (w24[p >> 3] >> (8 - (p & 7))) & 0xFFFF — computed per gather, so
+    # memory stays 8x the scan size and only touched positions cost
+    arr = np.frombuffer(buf, dtype=np.uint8).astype(np.int64)
+    w24 = (arr[:-2] << 16) | (arr[1:-1] << 8) | arr[2:]
+    lut2 = _lut_np_cached(dct, act)
+
+    zz = np.zeros((n_blocks, 64), dtype=np.int64)
+    pos = seg_start.copy()
+    rem = np.full(n_seg, interval, dtype=np.int64)
+    rem[-1] = exp_last
+    blk = np.arange(n_seg, dtype=np.int64) * interval
+    prev_dc = np.zeros(n_seg, dtype=np.int64)
+    tbl = np.zeros(n_seg, dtype=np.int64)  # 0 = DC phase, 65536 = AC
+    k = np.ones(n_seg, dtype=np.int64)
+    limit = bit_limit.copy()
+
+    while pos.size:
+        w = (w24[pos >> 3] >> (8 - (pos & 7))) & 0xFFFF
+        e = lut2[tbl | w]
+        if (e < 0).any():
+            raise CodecError("invalid JPEG Huffman code")
+        clen = e >> 8
+        rs = e & 0xFF
+        isdc = tbl == 0
+        size = np.where(isdc, rs, rs & 0x0F)
+        vpos = pos + clen
+        vraw = ((w24[vpos >> 3] >> (8 - (vpos & 7))) & 0xFFFF) >> (16 - size)
+        # T.81 F.2.2.1 EXTEND (size 0 -> vraw 0 -> value 0)
+        val = np.where(vraw >= (1 << size) >> 1, vraw, vraw - (1 << size) + 1)
+        pos = vpos + size
+        eob = (~isdc) & (rs == 0)
+        zrl = rs == 0xF0  # DC sizes stop at 11, so 0xF0 is AC-only
+        kw = k + np.where(isdc, 0, rs >> 4)
+        if ((~isdc) & ~eob & ~zrl & (kw > 63)).any():
+            raise CodecError("AC run overflows block")
+        prev_dc = prev_dc + np.where(isdc, val, 0)
+        wm = ~(eob | zrl)
+        zz[blk[wm], np.where(isdc, 0, kw)[wm]] = np.where(isdc, prev_dc, val)[wm]
+        k = np.where(isdc, 1, np.where(zrl, k + 16, kw + 1))
+        done = eob | ((~isdc) & (k >= 64))
+        tbl = np.where(done, 0, np.where(isdc, 65536, tbl))
+        blk = blk + done
+        rem = rem - done
+        fin = rem == 0
+        if fin.any():
+            if (pos[fin] > limit[fin]).any():
+                raise CodecError("truncated JPEG entropy stream")
+            keep = ~fin
+            pos, rem, blk, prev_dc = pos[keep], rem[keep], blk[keep], prev_dc[keep]
+            tbl, k, limit = tbl[keep], k[keep], limit[keep]
+    return zz
+
+
 def _blocks(gray: np.ndarray) -> tuple[np.ndarray, int, int]:
     """Pad (edge-replicate) to multiples of 8 and split into blocks
     [n_blocks, 8, 8] in raster order."""
@@ -316,68 +726,169 @@ def _blocks(gray: np.ndarray) -> tuple[np.ndarray, int, int]:
     )
 
 
-def encode_jfif(gray: np.ndarray, quality: int = 90) -> bytes:
-    """8-bit grayscale -> baseline JFIF bytes (real T.81 bitstream)."""
+def _write_block(bw_: _BitWriter, blk: np.ndarray, prev_dc: int,
+                 dc_codes: dict, ac_codes: dict) -> int:
+    """Entropy-encode one zigzag block; returns the new DC predictor."""
+    size, bits = _magnitude(int(blk[0]) - prev_dc)
+    code, length = dc_codes[size]
+    bw_.write(code, length)
+    if size:
+        bw_.write(bits, size)
+    run = 0
+    nz = np.nonzero(blk[1:])[0]
+    last = nz[-1] + 1 if nz.size else 0
+    for k in range(1, last + 1):
+        v = int(blk[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            bw_.write(code, length)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, length = ac_codes[(run << 4) | size]
+        bw_.write(code, length)
+        bw_.write(bits, size)
+        run = 0
+    if last < 63:
+        code, length = ac_codes[0x00]  # EOB
+        bw_.write(code, length)
+    return int(blk[0])
+
+
+def _quantized_zigzag(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """[h, w] plane -> [n_blocks, 64] quantized zigzag coefficients
+    (level shift + batched 2-D DCT, one matmul pair for all blocks)."""
+    blocks, _, _ = _blocks(plane)
+    coeffs = _DCT @ (blocks - 128.0) @ _DCT.T
+    quant = np.round(coeffs / qtab.reshape(8, 8)).astype(np.int64)
+    return quant.reshape(-1, 64)[:, ZIGZAG]
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+def encode_jfif(img: np.ndarray, quality: int = 90,
+                restart_interval: int = 1) -> bytes:
+    """8-bit image -> baseline JFIF bytes (real T.81 bitstream).
+
+    [h, w] grayscale encodes as a single-component scan; [h, w, 3] RGB
+    encodes as an interleaved 3-component YCbCr 4:4:4 scan (BT.601
+    full-range transform, Annex K.1/K.2 quant tables, K.3 luma + chroma
+    Huffman tables) — the channel path real color corpora need.
+
+    ``restart_interval`` MCUs per restart segment (DRI, B.2.4.4); the
+    default of 1 byte-aligns every MCU behind its own RSTn marker so
+    the decoder's lockstep path (_decode_scan_segmented) runs one
+    vectorized state machine across all blocks — ~2-3 bytes/MCU of
+    overhead buys a decode that no longer loops per symbol in Python.
+    0 disables restarts (the pre-round-4 single-segment bitstream)."""
+    if img.ndim == 3:
+        return _encode_jfif_color(img, quality, restart_interval)
+    gray = img
     h, w = gray.shape
     if not (0 < h < 65536 and 0 < w < 65536):
         raise CodecError("bad JFIF geometry")
     qtab = _quality_scaled(QTABLE_LUMA, quality)
-    blocks, _, _ = _blocks(np.clip(gray, 0, 255))
-    # level shift + batched 2-D DCT (one matmul pair for all blocks)
-    coeffs = _DCT @ (blocks - 128.0) @ _DCT.T
-    quant = np.round(coeffs / qtab.reshape(8, 8)).astype(np.int64)
-    zz = quant.reshape(-1, 64)[:, ZIGZAG]
+    zz = _quantized_zigzag(np.clip(gray, 0, 255), qtab)
 
     dc_codes = _huffman_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_codes = _huffman_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    parts: list[bytes] = []
     bw_ = _BitWriter()
     prev_dc = 0
-    for blk in zz:
-        size, bits = _magnitude(int(blk[0]) - prev_dc)
-        prev_dc = int(blk[0])
-        code, length = dc_codes[size]
-        bw_.write(code, length)
-        if size:
-            bw_.write(bits, size)
-        run = 0
-        nz = np.nonzero(blk[1:])[0]
-        last = nz[-1] + 1 if nz.size else 0
-        for k in range(1, last + 1):
-            v = int(blk[k])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, length = ac_codes[0xF0]  # ZRL
-                bw_.write(code, length)
-                run -= 16
-            size, bits = _magnitude(v)
-            code, length = ac_codes[(run << 4) | size]
-            bw_.write(code, length)
-            bw_.write(bits, size)
-            run = 0
-        if last < 63:
-            code, length = ac_codes[0x00]  # EOB
-            bw_.write(code, length)
-    entropy = bw_.flush()
-
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
+    for bi, blk in enumerate(zz):
+        if restart_interval and bi and bi % restart_interval == 0:
+            parts.append(bw_.flush())
+            rst = (bi // restart_interval - 1) & 7
+            parts.append(bytes([0xFF, 0xD0 + rst]))
+            bw_ = _BitWriter()
+            prev_dc = 0
+        prev_dc = _write_block(bw_, blk, prev_dc, dc_codes, ac_codes)
+    parts.append(bw_.flush())
 
     out = b"\xff\xd8"  # SOI
-    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xFFDB, b"\x00" + bytes(int(x) for x in qtab[ZIGZAG]))
-    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
-    out += seg(0xFFC4, b"\x00" + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
-    out += seg(0xFFC4, b"\x10" + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
-    out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
-    out += entropy
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, b"\x00" + bytes(int(x) for x in qtab[ZIGZAG]))
+    out += _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    out += _seg(0xFFC4, b"\x00" + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    out += _seg(0xFFC4, b"\x10" + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
+    out += _seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    out += b"".join(parts)
+    out += b"\xff\xd9"  # EOI
+    return out
+
+
+def _encode_jfif_color(rgb: np.ndarray, quality: int,
+                       restart_interval: int) -> bytes:
+    """[h, w, 3] RGB -> interleaved YCbCr 4:4:4 baseline JFIF."""
+    h, w, nc = rgb.shape
+    if nc != 3:
+        raise CodecError("color JFIF needs 3 channels")
+    if not (0 < h < 65536 and 0 < w < 65536):
+        raise CodecError("bad JFIF geometry")
+    ycc = rgb_to_ycbcr(np.clip(rgb, 0, 255).astype(np.float64))
+    qt_l = _quality_scaled(QTABLE_LUMA, quality)
+    qt_c = _quality_scaled(QTABLE_CHROMA, quality)
+    zzs = [
+        _quantized_zigzag(ycc[..., c], qt_l if c == 0 else qt_c)
+        for c in range(3)
+    ]
+    codes = (
+        (_huffman_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+         _huffman_codes(AC_LUMA_BITS, AC_LUMA_VALS)),
+        (_huffman_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
+         _huffman_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)),
+    )
+    parts: list[bytes] = []
+    bw_ = _BitWriter()
+    preds = [0, 0, 0]
+    for mi in range(zzs[0].shape[0]):  # 4:4:4 -> 1 MCU per 8x8 region
+        if restart_interval and mi and mi % restart_interval == 0:
+            parts.append(bw_.flush())
+            rst = (mi // restart_interval - 1) & 7
+            parts.append(bytes([0xFF, 0xD0 + rst]))
+            bw_ = _BitWriter()
+            preds = [0, 0, 0]
+        for c in range(3):
+            dc_codes, ac_codes = codes[0 if c == 0 else 1]
+            preds[c] = _write_block(bw_, zzs[c][mi], preds[c],
+                                    dc_codes, ac_codes)
+    parts.append(bw_.flush())
+
+    out = b"\xff\xd8"  # SOI
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, b"\x00" + bytes(int(x) for x in qt_l[ZIGZAG]))
+    out += _seg(0xFFDB, b"\x01" + bytes(int(x) for x in qt_c[ZIGZAG]))
+    out += _seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + b"\x01\x11\x00" + b"\x02\x11\x01" + b"\x03\x11\x01",
+    )
+    out += _seg(0xFFC4, b"\x00" + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    out += _seg(0xFFC4, b"\x10" + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+    out += _seg(0xFFC4, b"\x01" + bytes(DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS))
+    out += _seg(0xFFC4, b"\x11" + bytes(AC_CHROMA_BITS) + bytes(AC_CHROMA_VALS))
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
+    out += _seg(0xFFDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
+    out += b"".join(parts)
     out += b"\xff\xd9"  # EOI
     return out
 
 
 def decode_jfif(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes -> grayscale float32 [h, w] in [0, 255].
+
+    3-component (YCbCr 4:4:4) streams decode to RGB and mix down by
+    channel mean — the same luma path decode_bmp applies (wav.c:364-374
+    channel-mixdown analog), so color JPEGs feed the canonical grid
+    like every other color-capable format.  Use ``decode_jfif_rgb`` to
+    keep the color planes.
 
     Every malformed-input failure mode surfaces as CodecError so the
     Spark decode operators can quarantine the row: the marker parser
@@ -387,7 +898,16 @@ def decode_jfif(data: bytes) -> np.ndarray:
     IndexError from a DHT whose code counts overflow the LUT, stray
     _MarkerReached escaping the scan) — one corrupt foreign file must
     never fail the task (round-3 advice, verified by
-    tests/test_codecs.py::test_jfif_malformed_quarantines)."""
+    tests/test_jfif.py::test_jfif_malformed_quarantines)."""
+    out = decode_jfif_rgb(data)
+    if out.ndim == 3:
+        return out.mean(axis=2).astype(np.float32)
+    return out
+
+
+def decode_jfif_rgb(data: bytes) -> np.ndarray:
+    """Like decode_jfif but color streams return [h, w, 3] RGB float32
+    (grayscale streams still return [h, w])."""
     try:
         return _decode_jfif(data)
     except CodecError:
@@ -397,7 +917,11 @@ def decode_jfif(data: bytes) -> np.ndarray:
         raise CodecError(f"malformed JFIF: {exc!r}") from None
 
 
-def _decode_jfif(data: bytes) -> np.ndarray:
+def _parse_headers(data: bytes):
+    """Strict marker-segment parse up to SOS: returns (comps, h, w,
+    restart_interval, sos_pos) where ``comps`` is a list of
+    (qtab, dc_table, ac_table) per component in scan order — length 1
+    (grayscale) or 3 (interleaved YCbCr 4:4:4)."""
     if data[:2] != b"\xff\xd8":
         raise CodecError("not a JPEG (no SOI)")
     pos = 2
@@ -405,7 +929,8 @@ def _decode_jfif(data: bytes) -> np.ndarray:
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
     h = w = -1
-    comp_qtab = comp_dc = comp_ac = 0
+    sof_comps: list[tuple[int, int]] = []  # (component id, qtab id)
+    sel: dict[int, tuple[int, int]] = {}   # component id -> (dc, ac)
     restart_interval = 0
     sos_pos = -1
     while pos + 4 <= len(data):
@@ -429,12 +954,16 @@ def _decode_jfif(data: bytes) -> np.ndarray:
                 b = b[65:]
         elif marker == 0xFFC0:  # SOF0 baseline
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8 or ncomp != 1:
-                raise CodecError("only 8-bit single-component baseline JPEG")
+            if prec != 8 or ncomp not in (1, 3):
+                raise CodecError("only 8-bit 1- or 3-component baseline JPEG")
+            if len(body) < 6 + 3 * ncomp:
+                raise CodecError("truncated SOF0")
             # per-component: id(1) sampling(1) qtab(1) after the 6-byte head
-            sampling, comp_qtab = body[7], body[8]
-            if sampling != 0x11:
-                raise CodecError("subsampling unsupported for grayscale")
+            for ci in range(ncomp):
+                cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if sampling != 0x11:
+                    raise CodecError("only 4:4:4 / unsubsampled baseline")
+                sof_comps.append((cid, tq))
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise CodecError("non-baseline JPEG (progressive/extended)")
@@ -447,32 +976,88 @@ def _decode_jfif(data: bytes) -> np.ndarray:
                 vals = list(b[17 : 17 + n])
                 if len(vals) < n:
                     raise CodecError("truncated DHT")
-                dec = _huffman_decoder(bits, vals)
+                dec = _dht_cached(bytes(b[1 : 17 + n]), bits, vals)
                 (dc_tables if tc == 0 else ac_tables)[th] = dec
                 b = b[17 + n :]
         elif marker == 0xFFDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xFFDA:  # SOS
-            if body[0] != 1:
-                raise CodecError("multi-component scan unsupported")
-            comp_dc, comp_ac = body[2] >> 4, body[2] & 0x0F
+            ns = body[0]
+            if ns != len(sof_comps) or ns not in (1, 3):
+                raise CodecError("scan/frame component mismatch")
+            if len(body) < 1 + 2 * ns + 3:
+                raise CodecError("truncated SOS")
+            for ci in range(ns):
+                cs, tt = body[1 + 2 * ci], body[2 + 2 * ci]
+                sel[cs] = (tt >> 4, tt & 0x0F)
             sos_pos = pos + 2 + length
             break
         pos += 2 + length
-    if h <= 0 or w <= 0 or sos_pos < 0:
+    if h <= 0 or w <= 0 or sos_pos < 0 or not sof_comps:
         raise CodecError("truncated JPEG (missing SOF/SOS)")
-    if comp_qtab not in qtables:
-        raise CodecError("missing quantization table")
-    if comp_dc not in dc_tables or comp_ac not in ac_tables:
-        raise CodecError("missing Huffman table")
-    qtab = qtables[comp_qtab]
-    dct, act = dc_tables[comp_dc], ac_tables[comp_ac]
+    comps = []
+    for cid, tq in sof_comps:
+        if tq not in qtables:
+            raise CodecError("missing quantization table")
+        if cid not in sel:
+            raise CodecError("scan omits a frame component")
+        td, ta = sel[cid]
+        if td not in dc_tables or ta not in ac_tables:
+            raise CodecError("missing Huffman table")
+        comps.append((qtables[tq], dc_tables[td], ac_tables[ta]))
+    return comps, h, w, restart_interval, sos_pos
 
+
+def _decode_jfif(data: bytes) -> np.ndarray:
+    comps, h, w, restart_interval, sos_pos = _parse_headers(data)
     bh, bw_n = (h + 7) // 8, (w + 7) // 8
     n_blocks = bh * bw_n
-    zz = np.zeros((n_blocks, 64), dtype=np.int64)
+
+    if len(comps) == 3:
+        # interleaved YCbCr 4:4:4: one MCU = (Y, Cb, Cr) blocks of the
+        # same 8x8 region.  With DRI=1 the MCUs decode as lockstep
+        # lanes in three chained phases (component c of every MCU at
+        # once; each phase's end positions start the next); otherwise
+        # the general per-bit reader handles the serial stream.
+        if restart_interval == 1 and n_blocks >= _SEGMENT_MIN_LANES:
+            out, us, ul = _segment_scan_i1(data, sos_pos, n_blocks)
+            w24 = _pad_w24(out)
+            pos = us * 8
+            limit = (us + ul) * 8
+            end = np.empty(n_blocks, dtype=np.int64)
+            planes = []
+            for c in range(3):
+                qt, dct_, act_ = comps[c]
+                zzc = np.zeros((n_blocks, 64), dtype=np.int64)
+                _lockstep_interval1(
+                    w24, _lut_np_cached(dct_, act_),
+                    np.zeros(n_blocks, dtype=np.int64), pos,
+                    np.arange(n_blocks, dtype=np.int64), limit, zzc,
+                    end_pos=end,
+                )
+                pos = end.copy()
+                planes.append(_reassemble(zzc, qt, h, w, bh, bw_n))
+        else:
+            zzs = _decode_scan_general(
+                data, sos_pos, comps, n_blocks, restart_interval
+            )
+            planes = [
+                _reassemble(zzs[c], comps[c][0], h, w, bh, bw_n)
+                for c in range(3)
+            ]
+        return ycbcr_to_rgb(np.stack(planes, axis=-1)).astype(np.float32)
+
+    qtab, dct, act = comps[0]
+    if restart_interval:
+        zz_seg = _decode_scan_segmented(
+            data, sos_pos, dct, act, n_blocks, restart_interval
+        )
+        if zz_seg is not None:
+            return _reassemble(zz_seg, qtab, h, w, bh, bw_n)
 
     buf = None if restart_interval else _unstuff_entropy(data, sos_pos)
+    if buf is not None and len(buf) > _WINDOWS_MAX_BYTES:
+        buf = None  # avoid the ~300x window list on huge foreign scans
     if buf is not None:
         # fast path: pre-unstuffed buffer, precomputed bit windows, and
         # 16-bit-peek Huffman LUTs — the whole scan decodes with plain
@@ -482,7 +1067,8 @@ def _decode_jfif(data: bytes) -> np.ndarray:
         dc_lut = _lut_cached(dct)
         ac_lut = _lut_cached(act)
         win = _bit_windows(buf)
-        out = zz.tolist()  # per-element writes: list beats np scalar
+        # per-element writes: a list of lists beats np scalar indexing
+        out = [[0] * 64 for _ in range(n_blocks)]
         p = 0
         prev_dc = 0
         try:
@@ -526,31 +1112,45 @@ def _decode_jfif(data: bytes) -> np.ndarray:
             raise CodecError("truncated JPEG entropy stream")
         return _reassemble(np.array(out, dtype=np.int64), qtab, h, w, bh, bw_n)
 
+    zz = _decode_scan_general(data, sos_pos, comps, n_blocks, restart_interval)[0]
+    return _reassemble(zz, qtab, h, w, bh, bw_n)
+
+
+def _decode_scan_general(data: bytes, sos_pos: int, comps: list,
+                         n_mcu: int, restart_interval: int) -> list[np.ndarray]:
+    """General per-bit scan decode (any restart interval, 1 or 3
+    interleaved components): one [n_mcu, 64] zigzag matrix per
+    component.  The slow-but-always-correct path the vectorized tiers
+    are parity-pinned against."""
+    nc = len(comps)
+    zzs = [np.zeros((n_mcu, 64), dtype=np.int64) for _ in range(nc)]
     reader = _BitReader(data, sos_pos)
-    prev_dc = 0
-    blk = 0
-    while blk < n_blocks:
+    preds = [0] * nc
+    mi = 0
+    while mi < n_mcu:
         try:
-            size = reader.read_huffman(dct)
-            diff = _extend(reader.read_bits(size), size)
-            prev_dc += diff
-            zz[blk, 0] = prev_dc
-            k = 1
-            while k < 64:
-                rs = reader.read_huffman(act)
-                run, size = rs >> 4, rs & 0x0F
-                if size == 0:
-                    if run == 15:  # ZRL
-                        k += 16
-                        continue
-                    break  # EOB
-                k += run
-                if k > 63:
-                    raise CodecError("AC run overflows block")
-                zz[blk, k] = _extend(reader.read_bits(size), size)
-                k += 1
-            blk += 1
-            if restart_interval and blk < n_blocks and blk % restart_interval == 0:
+            for c in range(nc):
+                _, dct_, act_ = comps[c]
+                size = reader.read_huffman(dct_)
+                diff = _extend(reader.read_bits(size), size)
+                preds[c] += diff
+                zzs[c][mi, 0] = preds[c]
+                k = 1
+                while k < 64:
+                    rs = reader.read_huffman(act_)
+                    run, size = rs >> 4, rs & 0x0F
+                    if size == 0:
+                        if run == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += run
+                    if k > 63:
+                        raise CodecError("AC run overflows block")
+                    zzs[c][mi, k] = _extend(reader.read_bits(size), size)
+                    k += 1
+            mi += 1
+            if restart_interval and mi < n_mcu and mi % restart_interval == 0:
                 reader.byte_align()
                 # expect RSTn
                 try:
@@ -560,18 +1160,17 @@ def _decode_jfif(data: bytes) -> np.ndarray:
                     if not (0xFFD0 <= m.marker <= 0xFFD7):
                         raise CodecError("missing restart marker") from None
                     reader.pos += 2
-                    prev_dc = 0
+                    preds = [0] * nc
         except _MarkerReached as m:
             if 0xFFD0 <= m.marker <= 0xFFD7:
                 reader.pos += 2
                 reader.byte_align()
-                prev_dc = 0
+                preds = [0] * nc
                 continue
             raise CodecError(
                 f"unexpected marker 0x{m.marker:04x} inside scan"
             ) from None
-
-    return _reassemble(zz, qtab, h, w, bh, bw_n)
+    return zzs
 
 
 def _reassemble(zz: np.ndarray, qtab: np.ndarray, h: int, w: int,

@@ -181,9 +181,19 @@ def decode_avi_mjpeg(data: bytes) -> np.ndarray:
                                     raise CodecError("AVI codec is not MJPG")
                                 handler_ok = True
             elif ltype == b"movi":
-                for f2, s2, sz2 in walk(start + 4, start + size):
-                    if f2[2:4] in (b"dc", b"db"):
-                        frames.append(jfif.decode_jfif(data[s2 : s2 + sz2]))
+                payloads = [
+                    data[s2 : s2 + sz2]
+                    for f2, s2, sz2 in walk(start + 4, start + size)
+                    if f2[2:4] in (b"dc", b"db")
+                ]
+                if payloads:
+                    # all frames decode through one lockstep pass; a
+                    # malformed frame falls back to per-frame decode,
+                    # whose CodecError quarantines the whole video row
+                    try:
+                        frames.extend(jfif.decode_jfif_batch(payloads))
+                    except CodecError:
+                        frames.extend(jfif.decode_jfif(p) for p in payloads)
     except CodecError:
         raise
     except (struct.error, IndexError, ValueError) as exc:

@@ -173,6 +173,85 @@ def test_avi_malformed_quarantines():
             pass
 
 
+def _natural_color(seed: int, h: int = 96, w: int = 128) -> np.ndarray:
+    """Natural-statistics color image: textured scene luma + SMOOTH
+    chroma (real photos carry noise in luma and low-frequency color;
+    channel-independent noise would be crushed by the standard Annex
+    K.2 chroma table in ANY baseline encoder)."""
+    from mnemophonix_spark import corpusgen
+
+    rng = np.random.default_rng(seed)
+    luma = corpusgen._base_image(rng)[:h, :w]
+    yy, xx = np.mgrid[0:h, 0:w]
+    cb = 128 + 40 * np.sin(xx / 25.0 + seed)
+    cr = 128 + 40 * np.cos(yy / 20.0 - seed)
+    ycc = np.stack([luma, cb, cr], axis=-1)
+    return np.round(jfif.ycbcr_to_rgb(ycc)).astype(np.uint8)
+
+
+def test_color_roundtrip_psnr_and_parity():
+    """YCbCr 4:4:4 color: q95 roundtrip PSNR >= 40 dB on natural-
+    statistics content (the north-star lossy bound), and the 3-phase
+    lockstep decode is bit-identical to the per-bit general reader at
+    every restart interval."""
+    worst = float("inf")
+    for seed in range(3):
+        rgb = _natural_color(seed)
+        d1 = jfif.encode_jfif(rgb, 95)                      # DRI=1 lockstep
+        d0 = jfif.encode_jfif(rgb, 95, restart_interval=0)  # general reader
+        d3 = jfif.encode_jfif(rgb, 95, restart_interval=3)
+        out = jfif.decode_jfif_rgb(d1)
+        assert out.shape == rgb.shape
+        assert np.array_equal(out, jfif.decode_jfif_rgb(d0))
+        assert np.array_equal(out, jfif.decode_jfif_rgb(d3))
+        worst = min(worst, codecs.psnr(rgb.astype(float), out.astype(float)))
+    assert worst >= 40.0, f"color q95 PSNR {worst:.1f} dB"
+    # q100 near-lossless up to color-transform + coefficient rounding:
+    # the YCbCr->RGB matrix amplifies the sub-level DCT rounding by up
+    # to ~1.8 per channel, so the bound is 3 levels (grayscale is < 1)
+    rgb = _natural_color(7)
+    out100 = jfif.decode_jfif_rgb(jfif.encode_jfif(rgb, 100))
+    assert np.abs(out100 - rgb).max() <= 3.0
+
+
+def test_color_mixdown_matches_bmp_semantics():
+    """decode_jfif on a color stream returns the channel-mean luma —
+    the same mixdown decode_bmp applies — so color JPEGs feed the
+    canonical fingerprint grid consistently with every color format."""
+    rgb = _natural_color(1)
+    d = jfif.encode_jfif(rgb, 100)
+    gray = jfif.decode_jfif(d)
+    want = jfif.decode_jfif_rgb(d).mean(axis=2)
+    assert gray.shape == rgb.shape[:2]
+    assert np.allclose(gray, want, atol=1e-4)
+    # dispatch + batch path: color inside a jfif batch falls back to
+    # per-image decode and still yields the mixdown, never an error
+    got = codecs.decode_batch(
+        [jfif.encode_jfif(_natural_color(2), 95), d], ["jfif", "jfif"]
+    )
+    assert got[1].shape == rgb.shape[:2]
+    assert np.array_equal(got[1], gray)
+
+
+def test_color_strict_rejects():
+    rgb = _natural_color(4)
+    good = jfif.encode_jfif(rgb, 95)
+    # 4:2:0 subsampling claimed -> reject (only 4:4:4 implemented)
+    i = good.find(b"\xff\xc0")
+    sub = good[: i + 11] + b"\x22" + good[i + 12 :]
+    with pytest.raises(codecs.CodecError):
+        jfif.decode_jfif(sub)
+    with pytest.raises(codecs.CodecError):
+        jfif.decode_jfif(good[: len(good) // 2])
+    for pos in range(2, len(good), max(1, len(good) // 40)):
+        corrupted = good[:pos] + bytes([good[pos] ^ 0xFF]) + good[pos + 1 :]
+        try:
+            out = jfif.decode_jfif(corrupted)
+            assert isinstance(out, np.ndarray)
+        except codecs.CodecError:
+            pass
+
+
 def test_property_roundtrip_bounded_error():
     """Property: for any image and quality >= 85, per-pixel error stays
     within the quantization-table bound (coarse but format-wide)."""

@@ -397,6 +397,59 @@ def test_default_threshold_selects_driver_path_for_small_edges(spark, monkeypatc
     }
 
 
+def test_color_jfif_rows_in_dedup_chain(spark):
+    """COLOR baseline-JPEG rows flow the real dedup chain: interleaved
+    YCbCr 4:4:4 streams decode (channel-mean mixdown) inside the
+    fingerprint Arrow stage, planted color-lossy duplicates verify at
+    PSNR >= 40, and no color row quarantines."""
+    from tests.test_jfif import _natural_color
+
+    from mnemophonix_spark import corpusgen, jfif
+    from mnemophonix_spark.operators import lsh
+    from mnemophonix_spark.operators import verify as ver
+    from mnemophonix_spark.operators.fingerprint import (
+        fingerprint,
+        valid_signatures,
+    )
+
+    rows = []
+    planted = []
+    for seed in range(10):
+        rgb = _natural_color(seed)
+        base_id = f"col{seed:04d}a"
+        rows.append((base_id, jfif.encode_jfif(rgb, 95)))
+        if seed < 5:  # planted color-lossy duplicate (kind-2 analog)
+            dup_id = f"col{seed:04d}b"
+            rows.append((dup_id, jfif.encode_jfif(rgb, 90)))
+            planted.append((base_id, dup_id))
+    luma = {rid: jfif.decode_jfif(data) for rid, data in rows}
+    corpus = spark.createDataFrame(
+        [
+            (rid, bytearray(data), 128, 96, "jfif", "",
+             corpusgen._phash64(luma[rid]))
+            for rid, data in rows
+        ],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    sigs = fingerprint(corpus).persist()
+    assert sigs.filter("decode_error is not null").count() == 0
+    valid = valid_signatures(sigs)
+    verified = ver.verify_pairs(
+        lsh.score_pairs(lsh.candidate_pairs(lsh.explode_bands(valid)), valid),
+        corpus,
+    )
+    found = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    gated = {
+        r["image_id"] for r in sigs.filter("is_silence or degenerate").collect()
+    }
+    scoreable = [p for p in planted if p[0] not in gated and p[1] not in gated]
+    assert scoreable and all(p in found for p in scoreable), (
+        f"missing color pairs: {set(scoreable) - found}"
+    )
+    sigs.unpersist()
+
+
 def test_real_format_corpus_end_to_end(spark, tmp_path):
     """The full dedup stack over a corpus of REAL formats only — actual
     baseline JPEG (jfif), netpbm (pgm), and PNG — must recover the
