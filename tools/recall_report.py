@@ -76,6 +76,32 @@ def main() -> None:
         1 for r in live_tc if clusters.get(r["image_id"]) == r["cluster_id"]
     ) / max(1, len(live_tc))
 
+    # --- ANN recall at sf0.1 (round-3 verdict item 7): lsh_ann_topk's
+    # defaults (r=4, L=16) were tuned on the sf0.01 embeddings; assert
+    # recall@5 vs the exact brute-force top-5 at the next tier so
+    # corpus growth can't silently erode the 0.95 ---------------------
+    from pyspark.sql import functions as F
+
+    from mnemophonix_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").persist()
+    ann_queries = emb.filter(F.col("vec_id") < 16)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.cosine_topk(emb, ann_queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.lsh_ann_topk(emb, ann_queries, k=5).collect()
+    }
+    n_emb = emb.count()
+    emb.unpersist()
+    ann_recall = len(exact & approx) / max(1, len(exact))
+    assert ann_recall >= 0.9, (
+        f"lsh_ann_topk recall@5 eroded to {ann_recall:.3f} at sf0.1 — "
+        "retune n_planes/n_tables"
+    )
+
     report = f"""# BENCH/RECALL.md — dup-pair recall at bench scale
 
 Corpus: {n_rows} synthetic images (deterministic, planted duplicate
@@ -90,6 +116,7 @@ wall {wall:.1f}s.
 | + phash channel (union), fingerprintable | **{union_recall_live:.4f}** ({len(img_truth_live & union_pairs)}/{len(img_truth_live)}) | >= 0.99 |
 | caption-channel recall (kinds 5-6) | **{cap_recall:.4f}** ({len(cap_truth & cap_pairs)}/{len(cap_truth)}) | >= 0.99 |
 | cluster-assignment agreement (fingerprintable members) | {cluster_match:.4f} | — |
+| lsh_ann_topk recall@5 vs exact (sf0.1 embeddings, {n_emb} vectors, r=4 L=16) | **{ann_recall:.4f}** ({len(exact & approx)}/{len(exact)}) | >= 0.9 (asserted) |
 
 "Fingerprintable" excludes pairs where a member hit the chain's
 silence/degenerate gate (rawfingerprints.c:10-16 semantics: the image
