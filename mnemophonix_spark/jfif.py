@@ -3,24 +3,29 @@
 The container has no libjpeg, so round 2 shipped the deterministic FJPG
 stand-in for the `jpeg` corpus format (fixture-stable; see codecs.py).
 This module closes the remaining gap with an actual ITU-T T.81 baseline
-implementation for 8-bit grayscale: real DCT-II / quantization / zigzag
-/ differential DC / Annex-K Huffman entropy coding and a strict marker
-parser on the decode side.  It is registered as its own format key
-(``jfif``) so the graded corpus and its fixtures stay byte-stable while
-a genuinely real lossy bitstream is supported, tested, and quarantines
-malformed input like every other codec.
+implementation: real DCT-II / quantization / zigzag / differential DC /
+Annex-K Huffman entropy coding and a strict marker parser on the decode
+side.  It is registered as its own format key (``jfif``) and since
+round 4 the graded corpus plants real-JPEG rows; a genuinely real lossy
+bitstream is supported, tested, and quarantines malformed input like
+every other codec.
 
 Scope (validated, everything else rejects with CodecError):
-  - SOF0 baseline, 8-bit precision, exactly 1 component, no subsampling;
-  - one DQT table, DC+AC Huffman tables, single SOS scan;
+  - SOF0 baseline, 8-bit precision; grayscale, interleaved YCbCr 4:4:4
+    color, and interleaved YCbCr 4:2:0 color (BT.601 full-range
+    transforms; 2x2-box chroma subsample on encode, replication
+    upsample on decode);
+  - DQT / DC+AC Huffman tables per component, single SOS scan;
   - restart markers accepted (interval resets DC prediction);
-  - encoder emits the standard Annex K luminance tables with the
-    libjpeg quality scaling; measured on the engine's noisy-texture
-    content, PSNR >= 40 dB (the north-star lossy verification bound)
-    holds at quality 95 (42.4 dB; smoother natural content reaches it
-    at 90), and quality 100 is near-lossless (max error < 1 level —
-    only the unit-table coefficient rounding remains, which also pins
-    the DCT/quant/entropy loop as self-consistent).
+  - encoder emits the standard Annex K luminance + chrominance tables
+    with the libjpeg quality scaling; measured on the engine's
+    noisy-texture content, PSNR >= 40 dB (the north-star lossy
+    verification bound) holds at quality 95 (grayscale 42.4 dB; 4:4:4
+    color >= 40 on natural-statistics content; 4:2:0 trades ~3-5 dB of
+    chroma fidelity for ~30% smaller files, luma untouched), and
+    quality 100 is near-lossless (grayscale max error < 1 level — only
+    the unit-table coefficient rounding remains, which also pins the
+    DCT/quant/entropy loop as self-consistent).
 
 No third-party decoder exists in this container to cross-check the
 bitstream against; the independent evidence is (a) the strict marker
@@ -572,7 +577,7 @@ def _decode_jfif_batch(datas: list[bytes]) -> list[np.ndarray]:
         comps, h, w, ri, sos = _parse_headers(data)
         if ri != 1 or len(comps) != 1:
             raise CodecError("jfif batch path requires grayscale DRI=1")
-        qtab, dct, act = comps[0]
+        qtab, dct, act = comps[0][:3]
         metas.append((qtab, dct, act, h, w, sos))
     lut_parts: list[np.ndarray] = []
     pair_idx: dict = {}
@@ -771,7 +776,8 @@ def _seg(marker: int, body: bytes) -> bytes:
 
 
 def encode_jfif(img: np.ndarray, quality: int = 90,
-                restart_interval: int = 1) -> bytes:
+                restart_interval: int = 1,
+                subsampling: str = "444") -> bytes:
     """8-bit image -> baseline JFIF bytes (real T.81 bitstream).
 
     [h, w] grayscale encodes as a single-component scan; [h, w, 3] RGB
@@ -784,8 +790,14 @@ def encode_jfif(img: np.ndarray, quality: int = 90,
     the decoder's lockstep path (_decode_scan_segmented) runs one
     vectorized state machine across all blocks — ~2-3 bytes/MCU of
     overhead buys a decode that no longer loops per symbol in Python.
-    0 disables restarts (the pre-round-4 single-segment bitstream)."""
+    0 disables restarts (the pre-round-4 single-segment bitstream).
+    ``subsampling``: "444" (full chroma) or "420" (2x2-subsampled
+    chroma, the dominant real-world layout); color input only."""
     if img.ndim == 3:
+        if subsampling == "420":
+            return _encode_jfif_color_420(img, quality, restart_interval)
+        if subsampling != "444":
+            raise CodecError(f"unsupported subsampling {subsampling!r}")
         return _encode_jfif_color(img, quality, restart_interval)
     gray = img
     h, w = gray.shape
@@ -818,6 +830,78 @@ def encode_jfif(img: np.ndarray, quality: int = 90,
     if restart_interval:
         out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     out += _seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    out += b"".join(parts)
+    out += b"\xff\xd9"  # EOI
+    return out
+
+
+def _encode_jfif_color_420(rgb: np.ndarray, quality: int,
+                           restart_interval: int) -> bytes:
+    """[h, w, 3] RGB -> interleaved YCbCr 4:2:0 baseline JFIF: one MCU
+    = 4 Y blocks (2x2) + one 2x2-box-subsampled Cb and Cr block per
+    16x16 region."""
+    h, w, nc = rgb.shape
+    if nc != 3:
+        raise CodecError("color JFIF needs 3 channels")
+    if not (0 < h < 65536 and 0 < w < 65536):
+        raise CodecError("bad JFIF geometry")
+    ycc = rgb_to_ycbcr(np.clip(rgb, 0, 255).astype(np.float64))
+    my, mx = (h + 15) // 16, (w + 15) // 16
+    pad = lambda p: np.pad(  # noqa: E731
+        p, ((0, my * 16 - h), (0, mx * 16 - w)), mode="edge"
+    )
+    qt_l = _quality_scaled(QTABLE_LUMA, quality)
+    qt_c = _quality_scaled(QTABLE_CHROMA, quality)
+    ypad = pad(ycc[..., 0])
+    zz_y = _quantized_zigzag(ypad, qt_l)  # raster blocks, 2my x 2mx grid
+    zz_c = []
+    for c in (1, 2):
+        full = pad(ycc[..., c])
+        sub = full.reshape(my * 8, 2, mx * 8, 2).mean(axis=(1, 3))
+        zz_c.append(_quantized_zigzag(sub, qt_c))
+    codes_l = (_huffman_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+               _huffman_codes(AC_LUMA_BITS, AC_LUMA_VALS))
+    codes_c = (_huffman_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
+               _huffman_codes(AC_CHROMA_BITS, AC_CHROMA_VALS))
+    parts: list[bytes] = []
+    bw_ = _BitWriter()
+    preds = [0, 0, 0]
+    bwidth = 2 * mx  # Y blocks per padded row
+    mi = 0
+    for i in range(my):
+        for j in range(mx):
+            if restart_interval and mi and mi % restart_interval == 0:
+                parts.append(bw_.flush())
+                rst = (mi // restart_interval - 1) & 7
+                parts.append(bytes([0xFF, 0xD0 + rst]))
+                bw_ = _BitWriter()
+                preds = [0, 0, 0]
+            for r, c in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                blk = zz_y[(2 * i + r) * bwidth + 2 * j + c]
+                preds[0] = _write_block(bw_, blk, preds[0], *codes_l)
+            for ci in (1, 2):
+                preds[ci] = _write_block(
+                    bw_, zz_c[ci - 1][i * mx + j], preds[ci], *codes_c
+                )
+            mi += 1
+    parts.append(bw_.flush())
+
+    out = b"\xff\xd8"  # SOI
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, b"\x00" + bytes(int(x) for x in qt_l[ZIGZAG]))
+    out += _seg(0xFFDB, b"\x01" + bytes(int(x) for x in qt_c[ZIGZAG]))
+    out += _seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01",
+    )
+    out += _seg(0xFFC4, b"\x00" + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    out += _seg(0xFFC4, b"\x10" + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+    out += _seg(0xFFC4, b"\x01" + bytes(DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS))
+    out += _seg(0xFFC4, b"\x11" + bytes(AC_CHROMA_BITS) + bytes(AC_CHROMA_VALS))
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
+    out += _seg(0xFFDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
     out += b"".join(parts)
     out += b"\xff\xd9"  # EOI
     return out
@@ -920,8 +1004,8 @@ def decode_jfif_rgb(data: bytes) -> np.ndarray:
 def _parse_headers(data: bytes):
     """Strict marker-segment parse up to SOS: returns (comps, h, w,
     restart_interval, sos_pos) where ``comps`` is a list of
-    (qtab, dc_table, ac_table) per component in scan order — length 1
-    (grayscale) or 3 (interleaved YCbCr 4:4:4)."""
+    (qtab, dc_table, ac_table, hi, vi) per component in scan order —
+    length 1 (grayscale) or 3 (interleaved YCbCr, 4:4:4 or 4:2:0)."""
     if data[:2] != b"\xff\xd8":
         raise CodecError("not a JPEG (no SOI)")
     pos = 2
@@ -961,9 +1045,15 @@ def _parse_headers(data: bytes):
             # per-component: id(1) sampling(1) qtab(1) after the 6-byte head
             for ci in range(ncomp):
                 cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if sampling != 0x11:
-                    raise CodecError("only 4:4:4 / unsubsampled baseline")
-                sof_comps.append((cid, tq))
+                sof_comps.append((cid, tq, sampling >> 4, sampling & 0x0F))
+            samplings = [(hi, vi) for _, _, hi, vi in sof_comps]
+            if not (
+                all(s == (1, 1) for s in samplings)
+                or (ncomp == 3 and samplings == [(2, 2), (1, 1), (1, 1)])
+            ):
+                raise CodecError(
+                    "unsupported sampling (4:4:4, 4:2:0, or grayscale only)"
+                )
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise CodecError("non-baseline JPEG (progressive/extended)")
@@ -996,7 +1086,7 @@ def _parse_headers(data: bytes):
     if h <= 0 or w <= 0 or sos_pos < 0 or not sof_comps:
         raise CodecError("truncated JPEG (missing SOF/SOS)")
     comps = []
-    for cid, tq in sof_comps:
+    for cid, tq, hi, vi in sof_comps:
         if tq not in qtables:
             raise CodecError("missing quantization table")
         if cid not in sel:
@@ -1004,7 +1094,7 @@ def _parse_headers(data: bytes):
         td, ta = sel[cid]
         if td not in dc_tables or ta not in ac_tables:
             raise CodecError("missing Huffman table")
-        comps.append((qtables[tq], dc_tables[td], ac_tables[ta]))
+        comps.append((qtables[tq], dc_tables[td], ac_tables[ta], hi, vi))
     return comps, h, w, restart_interval, sos_pos
 
 
@@ -1014,6 +1104,9 @@ def _decode_jfif(data: bytes) -> np.ndarray:
     n_blocks = bh * bw_n
 
     if len(comps) == 3:
+        if comps[0][3] == 2:  # 4:2:0 (validated by _parse_headers)
+            return _decode_color_420(data, comps, h, w, restart_interval,
+                                     sos_pos)
         # interleaved YCbCr 4:4:4: one MCU = (Y, Cb, Cr) blocks of the
         # same 8x8 region.  With DRI=1 the MCUs decode as lockstep
         # lanes in three chained phases (component c of every MCU at
@@ -1027,7 +1120,7 @@ def _decode_jfif(data: bytes) -> np.ndarray:
             end = np.empty(n_blocks, dtype=np.int64)
             planes = []
             for c in range(3):
-                qt, dct_, act_ = comps[c]
+                qt, dct_, act_ = comps[c][:3]
                 zzc = np.zeros((n_blocks, 64), dtype=np.int64)
                 _lockstep_interval1(
                     w24, _lut_np_cached(dct_, act_),
@@ -1047,7 +1140,7 @@ def _decode_jfif(data: bytes) -> np.ndarray:
             ]
         return ycbcr_to_rgb(np.stack(planes, axis=-1)).astype(np.float32)
 
-    qtab, dct, act = comps[0]
+    qtab, dct, act = comps[0][:3]
     if restart_interval:
         zz_seg = _decode_scan_segmented(
             data, sos_pos, dct, act, n_blocks, restart_interval
@@ -1119,36 +1212,42 @@ def _decode_jfif(data: bytes) -> np.ndarray:
 def _decode_scan_general(data: bytes, sos_pos: int, comps: list,
                          n_mcu: int, restart_interval: int) -> list[np.ndarray]:
     """General per-bit scan decode (any restart interval, 1 or 3
-    interleaved components): one [n_mcu, 64] zigzag matrix per
-    component.  The slow-but-always-correct path the vectorized tiers
-    are parity-pinned against."""
+    interleaved components, any supported sampling): one
+    [n_mcu * blocks_per_mcu, 64] zigzag matrix per component in
+    MCU-major block order.  The slow-but-always-correct path the
+    vectorized tiers are parity-pinned against."""
     nc = len(comps)
-    zzs = [np.zeros((n_mcu, 64), dtype=np.int64) for _ in range(nc)]
+    nbs = [c[3] * c[4] for c in comps]  # data units per MCU (hi * vi)
+    zzs = [
+        np.zeros((n_mcu * nb, 64), dtype=np.int64) for nb in nbs
+    ]
     reader = _BitReader(data, sos_pos)
     preds = [0] * nc
     mi = 0
     while mi < n_mcu:
         try:
             for c in range(nc):
-                _, dct_, act_ = comps[c]
-                size = reader.read_huffman(dct_)
-                diff = _extend(reader.read_bits(size), size)
-                preds[c] += diff
-                zzs[c][mi, 0] = preds[c]
-                k = 1
-                while k < 64:
-                    rs = reader.read_huffman(act_)
-                    run, size = rs >> 4, rs & 0x0F
-                    if size == 0:
-                        if run == 15:  # ZRL
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += run
-                    if k > 63:
-                        raise CodecError("AC run overflows block")
-                    zzs[c][mi, k] = _extend(reader.read_bits(size), size)
-                    k += 1
+                _, dct_, act_ = comps[c][:3]
+                for b in range(nbs[c]):
+                    row = mi * nbs[c] + b
+                    size = reader.read_huffman(dct_)
+                    diff = _extend(reader.read_bits(size), size)
+                    preds[c] += diff
+                    zzs[c][row, 0] = preds[c]
+                    k = 1
+                    while k < 64:
+                        rs = reader.read_huffman(act_)
+                        run, size = rs >> 4, rs & 0x0F
+                        if size == 0:
+                            if run == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += run
+                        if k > 63:
+                            raise CodecError("AC run overflows block")
+                        zzs[c][row, k] = _extend(reader.read_bits(size), size)
+                        k += 1
             mi += 1
             if restart_interval and mi < n_mcu and mi % restart_interval == 0:
                 reader.byte_align()
@@ -1173,12 +1272,72 @@ def _decode_scan_general(data: bytes, sos_pos: int, comps: list,
     return zzs
 
 
-def _reassemble(zz: np.ndarray, qtab: np.ndarray, h: int, w: int,
-                bh: int, bw_n: int) -> np.ndarray:
+def _idct_blocks(zz: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """[n, 64] zigzag coeffs -> [n, 8, 8] spatial blocks (+128 level)."""
     coeffs = (zz[:, UNZIGZAG].reshape(-1, 8, 8) * qtab.reshape(8, 8)).astype(
         np.float64
     )
-    spatial = _DCT.T @ coeffs @ _DCT + 128.0
+    return _DCT.T @ coeffs @ _DCT + 128.0
+
+
+def _decode_color_420(data: bytes, comps: list, h: int, w: int,
+                      restart_interval: int, sos_pos: int) -> np.ndarray:
+    """Interleaved YCbCr 4:2:0: one MCU = 4 Y blocks (2x2) + Cb + Cr
+    covering 16x16 pixels.  DRI=1 streams decode as SIX chained
+    lockstep phases (Y sub-block 0..3 of every MCU, then Cb, then Cr);
+    Y DC diffs accumulate across the four phases afterwards, since DC
+    prediction chains through a component's blocks within the MCU.
+    Chroma upsamples 2x by replication."""
+    mx, my = (w + 15) // 16, (h + 15) // 16
+    n_mcu = mx * my
+    comp_of_phase = [0, 0, 0, 0, 1, 2]
+    if restart_interval == 1 and n_mcu >= _SEGMENT_MIN_LANES:
+        out, us, ul = _segment_scan_i1(data, sos_pos, n_mcu)
+        w24 = _pad_w24(out)
+        pos = us * 8
+        limit = (us + ul) * 8
+        end = np.empty(n_mcu, dtype=np.int64)
+        zzs = [np.zeros((n_mcu, 64), dtype=np.int64) for _ in range(6)]
+        for p in range(6):
+            dct_, act_ = comps[comp_of_phase[p]][1:3]
+            _lockstep_interval1(
+                w24, _lut_np_cached(dct_, act_),
+                np.zeros(n_mcu, dtype=np.int64), pos,
+                np.arange(n_mcu, dtype=np.int64), limit, zzs[p],
+                end_pos=end,
+            )
+            pos = end.copy()
+        for p in range(1, 4):  # Y DC prediction chain across sub-blocks
+            zzs[p][:, 0] += zzs[p - 1][:, 0]
+    else:
+        raw = _decode_scan_general(data, sos_pos, comps, n_mcu,
+                                   restart_interval)
+        ysub = raw[0].reshape(n_mcu, 4, 64)
+        zzs = [ysub[:, b, :] for b in range(4)] + [raw[1], raw[2]]
+
+    y_blocks = np.zeros((2 * my, 2 * mx, 8, 8))
+    for p, (r, c) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        y_blocks[r::2, c::2] = _idct_blocks(zzs[p], comps[0][0]).reshape(
+            my, mx, 8, 8
+        )
+    y_plane = y_blocks.transpose(0, 2, 1, 3).reshape(my * 16, mx * 16)[:h, :w]
+    planes = [y_plane]
+    for p, ci in ((4, 1), (5, 2)):
+        cp = (
+            _idct_blocks(zzs[p], comps[ci][0])
+            .reshape(my, mx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(my * 8, mx * 8)
+        )
+        planes.append(
+            np.repeat(np.repeat(cp, 2, axis=0), 2, axis=1)[:h, :w]
+        )
+    return ycbcr_to_rgb(np.stack(planes, axis=-1)).astype(np.float32)
+
+
+def _reassemble(zz: np.ndarray, qtab: np.ndarray, h: int, w: int,
+                bh: int, bw_n: int) -> np.ndarray:
+    spatial = _idct_blocks(zz, qtab)
     padded = (
         spatial.reshape(bh, bw_n, 8, 8)
         .transpose(0, 2, 1, 3)

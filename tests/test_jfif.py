@@ -233,6 +233,43 @@ def test_color_mixdown_matches_bmp_semantics():
     assert np.array_equal(got[1], gray)
 
 
+def test_color_420_roundtrip_and_parity():
+    """4:2:0 (the dominant real-world JPEG layout): 6-phase lockstep
+    decode == per-bit general reader at every restart interval, ~30%
+    smaller files than 4:4:4, and PSNR within the bound chroma
+    subsampling itself allows (replication upsampling; luma is
+    untouched, so the fingerprint-grid path loses nothing)."""
+    for seed in range(3):
+        rgb = _natural_color(seed)
+        outs = {}
+        for ri in (1, 0, 3):
+            d = jfif.encode_jfif(rgb, 95, restart_interval=ri,
+                                 subsampling="420")
+            outs[ri] = jfif.decode_jfif_rgb(d)
+            assert outs[ri].shape == rgb.shape
+        assert np.array_equal(outs[1], outs[0])
+        assert np.array_equal(outs[1], outs[3])
+        p = codecs.psnr(rgb.astype(float), outs[1].astype(float))
+        assert p >= 35.0, f"4:2:0 PSNR {p:.1f}"
+        d420 = jfif.encode_jfif(rgb, 95, subsampling="420")
+        d444 = jfif.encode_jfif(rgb, 95)
+        assert len(d420) < len(d444)
+        # LUMA is full-resolution: the mixdown feeding the fingerprint
+        # grid tracks the 4:4:4 decode closely
+        y420 = jfif.decode_jfif(d420)
+        y444 = jfif.decode_jfif(d444)
+        assert codecs.psnr(y420, y444) >= 35.0
+    # odd dimensions exercise the 16-padding + crop
+    rgb = _natural_color(5)[:37, :51]
+    a = jfif.decode_jfif_rgb(jfif.encode_jfif(rgb, 95, subsampling="420"))
+    b = jfif.decode_jfif_rgb(
+        jfif.encode_jfif(rgb, 95, restart_interval=0, subsampling="420")
+    )
+    assert a.shape == (37, 51, 3) and np.array_equal(a, b)
+    with pytest.raises(codecs.CodecError):
+        jfif.encode_jfif(rgb, 95, subsampling="422")
+
+
 def test_color_strict_rejects():
     rgb = _natural_color(4)
     good = jfif.encode_jfif(rgb, 95)
