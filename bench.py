@@ -109,6 +109,7 @@ def main() -> None:
         timings[name] = round(min(laps), 3)
 
     png_mixed = _bench_png_mixed_filters()
+    jfif_paths = _bench_jfif_decode_paths()
     lsh_paths = _bench_lsh_bucket_paths(spark)
     simhash_paths = _bench_simhash_paths(spark)
     audio_tp = _bench_audio_chain(spark)
@@ -127,6 +128,10 @@ def main() -> None:
         # (covered by img_dedup_e2e), so the Sub/Up/Average/Paeth
         # unfilter tiers get their own single-core throughput probe
         "png_mixed_filter_decode": png_mixed,
+        # real-JPEG decode tiers: per-symbol list path (round-3 state)
+        # vs single-image lockstep vs cross-image batched lockstep (the
+        # fingerprint hot path) — records the gap that justifies DRI=1
+        "jfif_decode_paths": jfif_paths,
         # explode vs Arrow-matmul hyperplane bucketing at high dim (the
         # explode stays as the SQL-oracle formulation; the matmul path
         # is the scale path — this records the gap that justifies it)
@@ -190,6 +195,46 @@ def _bench_png_mixed_filters() -> dict:
         "images_per_sec_1core": round(len(imgs) / dt, 1),
         "ms_per_image_batched": round(dt_batch / len(imgs) * 1000, 2),
         "batch_speedup": round(dt / dt_batch, 2),
+    }
+
+
+def _bench_jfif_decode_paths() -> dict:
+    """Single-core real-JPEG decode tiers on corpus-statistics content:
+    the round-3 per-symbol window-list path (no restarts), the
+    single-image lockstep (DRI=1), and the cross-image batched lockstep
+    `decode_jfif_batch` (what fingerprint's decode_batch runs)."""
+    import numpy as np
+
+    from mnemophonix_spark import corpusgen, jfif
+
+    imgs = [
+        np.round(corpusgen._base_image(np.random.default_rng(500 + i))).astype(
+            np.uint8
+        )
+        for i in range(48)
+    ]
+    d_rst = [jfif.encode_jfif(im, 95) for im in imgs]
+    d_flat = [jfif.encode_jfif(im, 95, restart_interval=0) for im in imgs]
+    jfif.decode_jfif_batch(d_rst[:4])
+    jfif.decode_jfif(d_flat[0])
+    n = len(imgs)
+    t0 = time.time()
+    for d in d_flat[:12]:
+        jfif.decode_jfif(d)
+    t_list = (time.time() - t0) / 12
+    t0 = time.time()
+    for d in d_rst:
+        jfif.decode_jfif(d)
+    t_single = (time.time() - t0) / n
+    t0 = time.time()
+    jfif.decode_jfif_batch(d_rst)
+    t_batch = (time.time() - t0) / n
+    return {
+        "images": n,
+        "ms_listpath": round(t_list * 1000, 3),
+        "ms_lockstep_single": round(t_single * 1000, 3),
+        "ms_lockstep_batched": round(t_batch * 1000, 3),
+        "batch_speedup_vs_listpath": round(t_list / t_batch, 2),
     }
 
 

@@ -113,10 +113,39 @@ class Corpus:
 
 def _encode_row(image_id: str, luma: np.ndarray, w: int, h: int, fmt: str,
                 caption: str, rng: np.random.Generator,
-                quality: int = 95) -> dict:
+                quality: int = 95, color: str | None = None) -> dict:
     from mnemophonix_spark.functions.kernels import area_resize
 
     pixels = np.clip(area_resize(luma, h, w), 0, 255).astype(np.float64)
+    if color is not None:
+        # COLOR row (jfif only): the scene luma plus a smooth chroma
+        # field — natural statistics (noise lives in luma, color varies
+        # slowly), encoded as interleaved YCbCr 4:4:4 or 4:2:0.  The
+        # chain's canonical luma for phash is the channel MEAN of the
+        # decoded RGB (decode_jfif's mixdown), which differs from Y by
+        # the chroma contribution, so phash is computed on that mean.
+        from mnemophonix_spark import jfif
+
+        yy, xx = np.mgrid[0:h, 0:w]
+        cb = 128 + float(rng.uniform(20, 45)) * np.sin(
+            xx / float(rng.uniform(18, 40)) + float(rng.uniform(0, 6))
+        )
+        cr = 128 + float(rng.uniform(20, 45)) * np.cos(
+            yy / float(rng.uniform(18, 40)) + float(rng.uniform(0, 6))
+        )
+        rgb = np.round(
+            jfif.ycbcr_to_rgb(np.stack([pixels, cb, cr], axis=-1))
+        )
+        data = jfif.encode_jfif(rgb, quality=quality, subsampling=color)
+        return {
+            "image_id": image_id,
+            "bytes": data,
+            "w": w,
+            "h": h,
+            "fmt": fmt,
+            "caption": caption,
+            "phash": _phash64(rgb.mean(axis=2)),
+        }
     kw = {"quality": quality} if fmt in ("jpeg", "jfif") else {}
     data = codecs.encode(pixels, fmt, **kw)
     return {
@@ -204,18 +233,29 @@ def generate(n_rows: int, seed: int = SEED, id_offset: int = 0,
                 corpus.truth_clusters.append((m, cid))
 
     # --- singletons --------------------------------------------------------
+    # a third of jfif singletons encode as COLOR (4:4:4 / 4:2:0
+    # alternating) so the graded corpus exercises the color decode +
+    # channel-mean mixdown path; duplicates stay grayscale so the
+    # planted-pair semantics are untouched
+    color_cycle = 0
     while i < n_rows:
         vid = f"img{i:08d}"
         i += 1
+        fmt = str(rng.choice(fmts))
+        color = None
+        if fmt == "jfif" and rng.random() < (1 / 3):
+            color = "444" if color_cycle % 2 == 0 else "420"
+            color_cycle += 1
         corpus.rows.append(
             _encode_row(
                 vid,
                 _base_image(rng),
                 int(rng.choice(W_CHOICES)),
                 int(rng.choice(H_CHOICES)),
-                str(rng.choice(fmts)),
+                fmt,
                 _caption(rng),
                 rng,
+                color=color,
             )
         )
     return corpus

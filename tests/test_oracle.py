@@ -30,6 +30,24 @@ def test_caption_kinds_not_matched_by_image_chain(oracle_result, truth):
     assert not (caption_pairs & found)
 
 
+def test_default_corpus_carries_color_jfif(corpus_rows):
+    """The graded mix must keep real COLOR JPEG rows (4:4:4 and 4:2:0
+    among jfif singletons) so the color decode + channel-mean mixdown
+    path stays exercised by the driver's fixtures — and every corpus
+    byte stream must decode without quarantine."""
+    ncomp_of = {}
+    for r in corpus_rows:
+        if r["fmt"] != "jfif":
+            continue
+        d = r["bytes"]
+        i = d.find(b"\xff\xc0")
+        ncomp_of.setdefault(d[i + 9], []).append(d[i + 11])
+    assert 3 in ncomp_of, "no color jfif rows in the default corpus"
+    assert 1 in ncomp_of, "no grayscale jfif rows in the default corpus"
+    samplings = set(ncomp_of[3])
+    assert {0x11, 0x22} <= samplings, f"color samplings seen: {samplings}"
+
+
 def test_pairs_are_canonical(oracle_result):
     for a, b, *_ in oracle_result.pairs:
         assert a < b
