@@ -649,17 +649,45 @@ def decode_batch(
     if jfif_idx:
         from mnemophonix_spark import jfif as _jfif
 
-        # all the batch's JFIF rows decode through ONE lockstep pass
-        # (every restart segment a lane of the same vectorized state
-        # machine); any malformed/foreign stream aborts the joint pass,
-        # and those rows fall back to per-image decode so quarantine
-        # stays per-row
-        try:
-            outs2 = _jfif.decode_jfif_batch([payloads[i] for i in jfif_idx])
-            for i, out in zip(jfif_idx, outs2):
-                results[i] = out
-        except CodecError:
-            for i in jfif_idx:
+        # the batch's grayscale-SOF0 JFIF rows decode through ONE
+        # lockstep pass (every restart segment a lane of the same
+        # vectorized state machine); color / progressive / headerless
+        # rows are routed per-image up front by a cheap header probe —
+        # otherwise one such row would abort the joint pass and push
+        # EVERY jfif row in the batch onto the slow path.  A malformed
+        # stream that still slips into the joint pass aborts it, and
+        # those rows fall back to per-image decode so quarantine stays
+        # per-row.
+        gray_idx: list[int] = []
+        color_idx: list[int] = []
+        slow_idx: list[int] = []
+        for i in jfif_idx:
+            m, nc = _jfif._sof_info(payloads[i])
+            if m == 0xFFC0 and nc == 1:
+                gray_idx.append(i)
+            elif m == 0xFFC0 and nc == 3:
+                color_idx.append(i)
+            else:
+                slow_idx.append(i)
+        if gray_idx:
+            try:
+                outs2 = _jfif.decode_jfif_batch([payloads[i] for i in gray_idx])
+                for i, out in zip(gray_idx, outs2):
+                    results[i] = out
+            except CodecError:
+                slow_idx.extend(gray_idx)
+        if color_idx:
+            try:
+                outs3 = _jfif.decode_jfif_color_batch(
+                    [payloads[i] for i in color_idx]
+                )
+                for i, out in zip(color_idx, outs3):
+                    # channel-mean mixdown, same luma path as decode_jfif
+                    results[i] = out.mean(axis=2).astype(np.float32)
+            except CodecError:
+                slow_idx.extend(color_idx)
+        for i in slow_idx:
+            if results[i] is None:
                 try:
                     results[i] = _jfif.decode_jfif(payloads[i])
                 except CodecError as e:

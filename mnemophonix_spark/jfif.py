@@ -15,6 +15,11 @@ Scope (validated, everything else rejects with CodecError):
     color, and interleaved YCbCr 4:2:0 color (BT.601 full-range
     transforms; 2x2-box chroma subsample on encode, replication
     upsample on decode);
+  - SOF2 PROGRESSIVE (Annex G): spectral selection + successive
+    approximation, grayscale and YCbCr, decoded through the per-bit
+    reader (a foreign-compatibility path) and validated by the
+    progressive encoder twin — same quantized coefficients re-emitted
+    across scans must decode pixel-identical to the baseline stream;
   - DQT / DC+AC Huffman tables per component, single SOS scan;
   - restart markers accepted (interval resets DC prediction);
   - encoder emits the standard Annex K luminance + chrominance tables
@@ -617,6 +622,103 @@ def _decode_jfif_batch(datas: list[bytes]) -> list[np.ndarray]:
     ]
 
 
+def decode_jfif_color_batch(datas: list[bytes]) -> list[np.ndarray]:
+    """Batched COLOR decode: all DRI=1 YCbCr images of an Arrow batch
+    decode through chained phase locksteps — per phase (Y [sub-]block,
+    Cb, Cr of every MCU of every image in the group), one vectorized
+    pass, with each phase's end positions starting the next.  Images
+    group by sampling layout (4:4:4 = 3 phases, 4:2:0 = 6 with the Y DC
+    chain accumulated afterwards).  Raises CodecError for non-DRI=1 /
+    non-color / malformed streams; the caller falls back per-image."""
+    try:
+        return _decode_jfif_color_batch(datas)
+    except CodecError:
+        raise
+    except (struct.error, IndexError, ValueError, KeyError,
+            _MarkerReached) as exc:
+        raise CodecError(f"malformed JFIF in color batch: {exc!r}") from None
+
+
+def _decode_jfif_color_batch(datas: list[bytes]) -> list[np.ndarray]:
+    groups: dict = {}  # layout -> list of (orig_idx, comps, h, w, sos)
+    for idx, data in enumerate(datas):
+        comps, h, w, ri, sos = _parse_headers(data)
+        if ri != 1 or len(comps) != 3:
+            raise CodecError("color batch path requires color DRI=1")
+        layout = "420" if comps[0][3] == 2 else "444"
+        groups.setdefault(layout, []).append((idx, comps, h, w, sos))
+    results: list = [None] * len(datas)
+    for layout, items in groups.items():
+        if layout == "444":
+            comp_of_phase = [0, 1, 2]
+            geom = lambda h, w: ((h + 7) // 8, (w + 7) // 8)  # noqa: E731
+        else:
+            comp_of_phase = [0, 0, 0, 0, 1, 2]
+            geom = lambda h, w: ((h + 15) // 16, (w + 15) // 16)  # noqa: E731
+        n_phase = len(comp_of_phase)
+        # distinct (dc, ac) tables per (image, component) -> one LUT
+        lut_parts: list[np.ndarray] = []
+        pair_idx: dict = {}
+        chunks, pos_l, limit_l = [], [], []
+        base_l: list[list[np.ndarray]] = [[] for _ in range(n_phase)]
+        metas = []
+        total_bytes = 0
+        total_mcus = 0
+        for idx, comps, h, w, sos in items:
+            my, mx = geom(h, w)
+            n_mcu = my * mx
+            out, us, ul = _segment_scan_i1(datas[idx], sos, n_mcu)
+            chunks.append(out)
+            pos_l.append((us + total_bytes) * 8)
+            limit_l.append((us + ul + total_bytes) * 8)
+            bases = []
+            for c in range(3):
+                key = (id(comps[c][1]), id(comps[c][2]))
+                i = pair_idx.get(key)
+                if i is None:
+                    i = pair_idx[key] = len(lut_parts)
+                    lut_parts.append(_lut_np_cached(comps[c][1], comps[c][2]))
+                bases.append(i * 131072)
+            for p in range(n_phase):
+                base_l[p].append(
+                    np.full(n_mcu, bases[comp_of_phase[p]], dtype=np.int64)
+                )
+            metas.append((idx, comps, h, w, my, mx, total_mcus, n_mcu))
+            total_bytes += out.size
+            total_mcus += n_mcu
+        w24 = _pad_w24(np.concatenate(chunks))
+        lut2 = lut_parts[0] if len(lut_parts) == 1 else np.concatenate(lut_parts)
+        pos = np.concatenate(pos_l)
+        limit = np.concatenate(limit_l)
+        blk = np.arange(total_mcus, dtype=np.int64)
+        end = np.empty(total_mcus, dtype=np.int64)
+        zzs = [
+            np.zeros((total_mcus, 64), dtype=np.int64) for _ in range(n_phase)
+        ]
+        for p in range(n_phase):
+            _lockstep_interval1(
+                w24, lut2, np.concatenate(base_l[p]), pos, blk, limit,
+                zzs[p], end_pos=end,
+            )
+            pos = end.copy()
+        if layout == "420":
+            for p in range(1, 4):  # Y DC prediction chain
+                zzs[p][:, 0] += zzs[p - 1][:, 0]
+        for idx, comps, h, w, my, mx, off, n_mcu in metas:
+            sl = [zzs[p][off : off + n_mcu] for p in range(n_phase)]
+            if layout == "444":
+                planes = [
+                    _reassemble(sl[c], comps[c][0], h, w, my, mx)
+                    for c in range(3)
+                ]
+                results[idx] = ycbcr_to_rgb(
+                    np.stack(planes, axis=-1)
+                ).astype(np.float32)
+            else:
+                results[idx] = _assemble_420(sl, comps, h, w, my, mx)
+    return results
+
+
 def _decode_scan_segmented(data: bytes, sos_pos: int, dct: dict, act: dict,
                            n_blocks: int, interval: int) -> np.ndarray | None:
     """Lockstep decode of a restart-segmented scan -> zigzag coeff
@@ -1099,6 +1201,8 @@ def _parse_headers(data: bytes):
 
 
 def _decode_jfif(data: bytes) -> np.ndarray:
+    if _sof_marker(data) == 0xFFC2:
+        return _decode_progressive(data)
     comps, h, w, restart_interval, sos_pos = _parse_headers(data)
     bh, bw_n = (h + 7) // 8, (w + 7) // 8
     n_blocks = bh * bw_n
@@ -1272,6 +1376,666 @@ def _decode_scan_general(data: bytes, sos_pos: int, comps: list,
     return zzs
 
 
+# --- progressive (SOF2) encode --------------------------------------------
+
+# default scan script: DC with one successive-approximation refinement,
+# AC split into two spectral bands at Al=2, then two full-band
+# refinement passes — exercises every decoder path (EOB runs, ZRL,
+# correction bits, band splits)
+PROGRESSIVE_SCANS = (
+    (0, 0, 0, 1), (0, 0, 1, 0),
+    (1, 5, 0, 2), (6, 63, 0, 2),
+    (1, 63, 2, 1), (1, 63, 1, 0),
+)
+
+# Progressive AC scans need EOBn symbols (rs = n<<4, size 0), which the
+# Annex K BASELINE tables don't carry — real progressive encoders emit
+# custom per-scan tables.  This validation twin uses one universal
+# canonical table instead: every rs value at 9 bits (0xFF at 10), a
+# legal Huffman code (Kraft 255/512 + 1/1024 < 1; the all-ones code
+# stays unused) that trades compression for covering every symbol the
+# decoder can meet.
+PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0]
+PROG_AC_VALS = list(range(255)) + [255]
+
+
+def encode_jfif_progressive(img: np.ndarray, quality: int = 90,
+                            scans=PROGRESSIVE_SCANS,
+                            subsampling: str = "444") -> bytes:
+    """8-bit grayscale [h, w] or RGB [h, w, 3] -> PROGRESSIVE (SOF2)
+    JFIF bytes (color: interleaved DC scans + per-component
+    non-interleaved AC scans, 4:4:4 or 4:2:0).
+
+    Primarily the validation twin of the progressive decoder: it emits
+    the SAME quantized coefficients as the baseline encoder, spread
+    over ``scans`` (tuples of Ss, Se, Ah, Al), so decoding the
+    progressive stream must be pixel-identical to decoding the baseline
+    stream — an exact equality gate, not a PSNR bound."""
+    if img.ndim == 3:
+        return _encode_jfif_progressive_color(img, quality, scans,
+                                              subsampling)
+    gray = img
+    h, w = gray.shape
+    if not (0 < h < 65536 and 0 < w < 65536):
+        raise CodecError("bad JFIF geometry")
+    qtab = _quality_scaled(QTABLE_LUMA, quality)
+    zz = _quantized_zigzag(np.clip(gray, 0, 255), qtab)
+    dc_codes = _huffman_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_codes = _huffman_codes(PROG_AC_BITS, PROG_AC_VALS)
+
+    out = b"\xff\xd8"
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, b"\x00" + bytes(int(x) for x in qtab[ZIGZAG]))
+    out += _seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    out += _seg(0xFFC4, b"\x00" + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    out += _seg(0xFFC4, b"\x10" + bytes(PROG_AC_BITS) + bytes(PROG_AC_VALS))
+    for ss, se, ah, al in scans:
+        out += _seg(0xFFDA, b"\x01\x01\x00" + bytes([ss, se, (ah << 4) | al]))
+        out += _encode_progressive_scan(zz, ss, se, ah, al, dc_codes, ac_codes)
+    out += b"\xff\xd9"
+    return out
+
+
+def _encode_jfif_progressive_color(rgb: np.ndarray, quality: int, scans,
+                                   subsampling: str) -> bytes:
+    """Color progressive: DC scans interleave all three components in
+    MCU order; each AC scan spec emits three non-interleaved scans (one
+    per component over its own block grid, T.81 G.1/A.2.2)."""
+    h, w, nc = rgb.shape
+    if nc != 3:
+        raise CodecError("color JFIF needs 3 channels")
+    if not (0 < h < 65536 and 0 < w < 65536):
+        raise CodecError("bad JFIF geometry")
+    if subsampling not in ("444", "420"):
+        raise CodecError(f"unsupported subsampling {subsampling!r}")
+    ycc = rgb_to_ycbcr(np.clip(rgb, 0, 255).astype(np.float64))
+    qt_l = _quality_scaled(QTABLE_LUMA, quality)
+    qt_c = _quality_scaled(QTABLE_CHROMA, quality)
+
+    if subsampling == "444":
+        zzs = [
+            _quantized_zigzag(ycc[..., c], qt_l if c == 0 else qt_c)
+            for c in range(3)
+        ]
+        n_units = zzs[0].shape[0]
+        # MCU u = one block per component; AC grids == DC grid
+        dc_units = [(c, u) for u in range(n_units) for c in range(3)]
+        ac_rows = [list(zzs[c]) for c in range(3)]
+        comp_specs = b"\x01\x11\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
+    else:
+        my, mx = (h + 15) // 16, (w + 15) // 16
+        pad = lambda p: np.pad(  # noqa: E731
+            p, ((0, my * 16 - h), (0, mx * 16 - w)), mode="edge"
+        )
+        zz_y = _quantized_zigzag(pad(ycc[..., 0]), qt_l)  # (2my*2mx, 64)
+        zz_c = []
+        for c in (1, 2):
+            full = pad(ycc[..., c])
+            sub = full.reshape(my * 8, 2, mx * 8, 2).mean(axis=(1, 3))
+            zz_c.append(_quantized_zigzag(sub, qt_c))
+        dc_units = []
+        bwidth = 2 * mx
+        for i in range(my):
+            for j in range(mx):
+                for r, cc in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                    dc_units.append((0, (2 * i + r) * bwidth + 2 * j + cc))
+                dc_units.append((1, i * mx + j))
+                dc_units.append((2, i * mx + j))
+        zzs = [zz_y, zz_c[0], zz_c[1]]
+        # non-interleaved AC grids: each component's OWN dimensions
+        # (no MCU padding) — indices into the padded raster arrays
+        ybh, ybw = (h + 7) // 8, (w + 7) // 8
+        cbh = ((h + 1) // 2 + 7) // 8
+        cbw = ((w + 1) // 2 + 7) // 8
+        ac_rows = [
+            [zz_y[by * bwidth + bx] for by in range(ybh) for bx in range(ybw)],
+            [zz_c[0][by * mx + bx] for by in range(cbh) for bx in range(cbw)],
+            [zz_c[1][by * mx + bx] for by in range(cbh) for bx in range(cbw)],
+        ]
+        comp_specs = b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
+
+    dc_codes = [
+        _huffman_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+        _huffman_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
+    ]
+    ac_codes = _huffman_codes(PROG_AC_BITS, PROG_AC_VALS)
+
+    out = b"\xff\xd8"
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, b"\x00" + bytes(int(x) for x in qt_l[ZIGZAG]))
+    out += _seg(0xFFDB, b"\x01" + bytes(int(x) for x in qt_c[ZIGZAG]))
+    out += _seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 3) + comp_specs)
+    out += _seg(0xFFC4, b"\x00" + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    out += _seg(0xFFC4, b"\x01" + bytes(DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS))
+    out += _seg(0xFFC4, b"\x10" + bytes(PROG_AC_BITS) + bytes(PROG_AC_VALS))
+    for ss, se, ah, al in scans:
+        if ss == 0:
+            out += _seg(
+                0xFFDA,
+                b"\x03\x01\x00\x02\x11\x03\x11"
+                + bytes([ss, se, (ah << 4) | al]),
+            )
+            bw_ = _BitWriter()
+            if ah == 0:
+                preds = [0, 0, 0]
+                for c, u in dc_units:
+                    v = int(zzs[c][u][0]) >> al
+                    size, bits = _magnitude(v - preds[c])
+                    preds[c] = v
+                    code, length = dc_codes[0 if c == 0 else 1][size]
+                    bw_.write(code, length)
+                    if size:
+                        bw_.write(bits, size)
+            else:
+                for c, u in dc_units:
+                    bw_.write((int(zzs[c][u][0]) >> al) & 1, 1)
+            out += bw_.flush()
+        else:
+            for c, cid in ((0, 1), (1, 2), (2, 3)):
+                out += _seg(
+                    0xFFDA,
+                    bytes([1, cid, 0x10])
+                    + bytes([ss, se, (ah << 4) | al]),
+                )
+                out += _encode_progressive_scan(
+                    ac_rows[c], ss, se, ah, al, None, ac_codes
+                )
+    out += b"\xff\xd9"
+    return out
+
+
+def _emit_eobn(bw_: _BitWriter, ac_codes: dict, eobrun: int) -> None:
+    nbits = eobrun.bit_length() - 1
+    code, length = ac_codes[nbits << 4]
+    bw_.write(code, length)
+    if nbits:
+        bw_.write(eobrun - (1 << nbits), nbits)
+
+
+def _encode_progressive_scan(zz: np.ndarray, ss: int, se: int, ah: int,
+                             al: int, dc_codes: dict,
+                             ac_codes: dict) -> bytes:
+    bw_ = _BitWriter()
+    if ss == 0:  # DC scan
+        if ah == 0:
+            prev = 0
+            for row in zz:
+                v = int(row[0]) >> al  # arithmetic shift (G.1.2.1)
+                size, bits = _magnitude(v - prev)
+                prev = v
+                code, length = dc_codes[size]
+                bw_.write(code, length)
+                if size:
+                    bw_.write(bits, size)
+        else:
+            for row in zz:
+                bw_.write((int(row[0]) >> al) & 1, 1)
+        return bw_.flush()
+
+    if ah == 0:  # AC first pass: magnitudes at precision Al
+        eobrun = 0
+        for row in zz:
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(row[k])
+                t2 = abs(v) >> al
+                if t2 == 0:
+                    r += 1
+                    continue
+                if eobrun:
+                    _emit_eobn(bw_, ac_codes, eobrun)
+                    eobrun = 0
+                while r > 15:
+                    code, length = ac_codes[0xF0]  # ZRL
+                    bw_.write(code, length)
+                    r -= 16
+                size, bits = _magnitude(t2 if v > 0 else -t2)
+                code, length = ac_codes[(r << 4) | size]
+                bw_.write(code, length)
+                bw_.write(bits, size)
+                r = 0
+            if r > 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    _emit_eobn(bw_, ac_codes, eobrun)
+                    eobrun = 0
+        if eobrun:
+            _emit_eobn(bw_, ac_codes, eobrun)
+        return bw_.flush()
+
+    # AC refinement pass: newly-nonzero coefficients appear at +-2^Al;
+    # previously-nonzero ones contribute one correction bit each,
+    # riding the wire right after the symbol (or EOB run) whose
+    # positional span crosses them — mirror of _ac_refine_block
+    eobrun = 0
+    pend_eob: list[int] = []
+    for row in zz:
+        events: list = []  # 'z' (zero history) or 0/1 correction bits
+        new_positions = []
+        for k in range(ss, se + 1):
+            v = int(row[k])
+            m = abs(v) >> al
+            if m == 0:
+                events.append("z")
+            elif m == 1:
+                new_positions.append((len(events), v))
+                events.append("z")  # placeholder; placement consumes it
+            else:
+                events.append(m & 1)
+        if not new_positions:
+            eobrun += 1
+            pend_eob.extend(e for e in events if e != "z")
+            if eobrun == 0x7FFF:
+                _emit_eobn(bw_, ac_codes, eobrun)
+                for b in pend_eob:
+                    bw_.write(b, 1)
+                eobrun = 0
+                pend_eob = []
+            continue
+        if eobrun:
+            _emit_eobn(bw_, ac_codes, eobrun)
+            for b in pend_eob:
+                bw_.write(b, 1)
+            eobrun = 0
+            pend_eob = []
+        ei = 0  # event cursor
+        for npos, v in new_positions:
+            # zeros between the cursor and the placement position
+            nzeros = sum(1 for e in events[ei:npos] if e == "z")
+            while nzeros > 15:
+                # ZRL spans 16 zero positions; corrections crossed
+                # within the span follow the ZRL symbol in order
+                code, length = ac_codes[0xF0]
+                bw_.write(code, length)
+                consumed = 0
+                while consumed < 16:
+                    e = events[ei]
+                    ei += 1
+                    if e == "z":
+                        consumed += 1
+                    else:
+                        bw_.write(e, 1)
+                nzeros -= 16
+            code, length = ac_codes[(nzeros << 4) | 1]
+            bw_.write(code, length)
+            bw_.write(1 if v > 0 else 0, 1)
+            # corrections crossed up to and including the placement
+            while ei <= npos:
+                e = events[ei]
+                ei += 1
+                if e != "z":
+                    bw_.write(e, 1)
+        if ei < len(events):  # trailing zeros / corrections -> EOB
+            eobrun += 1
+            pend_eob.extend(e for e in events[ei:] if e != "z")
+    if eobrun:
+        _emit_eobn(bw_, ac_codes, eobrun)
+        for b in pend_eob:
+            bw_.write(b, 1)
+    return bw_.flush()
+
+
+# --- progressive (SOF2) decode --------------------------------------------
+#
+# Progressive JPEG spreads a frame over multiple scans: spectral bands
+# (Ss..Se) and successive-approximation bit planes (Ah/Al) accumulate
+# into per-component coefficient arrays, then one IDCT renders the
+# final image (ITU T.81 Annex G).  This is a FOREIGN-COMPATIBILITY
+# path: the engine's own corpus is baseline, so progressive decodes
+# through the per-bit reader with no lockstep tier — correctness and
+# quarantine are the contract, not throughput.  Validated by the
+# progressive ENCODER twin below: re-emitting the same quantized
+# coefficients progressively must decode pixel-identical to the
+# baseline bitstream.
+
+
+def _sof_info(data: bytes) -> tuple[int, int]:
+    """(frame-type marker, component count) from a bounded header walk
+    — no entropy decode; (-1, 0) when no SOF is found.  decode_batch
+    uses this to route grayscale-SOF0 rows to the batched lockstep and
+    color/progressive rows to per-image decode, so one color row can't
+    force a whole Arrow batch off the fast path."""
+    if data[:2] != b"\xff\xd8":
+        return -1, 0
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            return -1, 0
+        marker = (data[pos] << 8) | data[pos + 1]
+        if 0xFFC0 <= marker <= 0xFFCF and marker not in (0xFFC4, 0xFFC8, 0xFFCC):
+            return marker, (data[pos + 9] if pos + 9 < n else 0)
+        if marker in (0xFFDA, 0xFFD9):
+            return -1, 0
+        (length,) = struct.unpack_from(">H", data, pos + 2)
+        if length < 2:
+            return -1, 0
+        pos += 2 + length
+    return -1, 0
+
+
+def _sof_marker(data: bytes) -> int:
+    return _sof_info(data)[0]
+
+
+def _parse_dqt_body(body: bytes, qtables: dict) -> None:
+    b = body
+    while b:
+        pq, tq = b[0] >> 4, b[0] & 0x0F
+        if pq != 0:
+            raise CodecError("16-bit DQT unsupported (baseline 8)")
+        if len(b) < 65:
+            raise CodecError("truncated DQT")
+        tab = np.frombuffer(b[1:65], dtype=np.uint8).astype(np.int64)
+        qtables[tq] = tab[UNZIGZAG]
+        b = b[65:]
+
+
+def _parse_dht_body(body: bytes, dc_tables: dict, ac_tables: dict) -> None:
+    b = body
+    while b:
+        tc, th = b[0] >> 4, b[0] & 0x0F
+        bits = list(b[1:17])
+        n = sum(bits)
+        vals = list(b[17 : 17 + n])
+        if len(vals) < n:
+            raise CodecError("truncated DHT")
+        dec = _dht_cached(bytes(b[1 : 17 + n]), bits, vals)
+        (dc_tables if tc == 0 else ac_tables)[th] = dec
+        b = b[17 + n :]
+
+
+def _next_marker_pos(data: bytes, pos: int) -> int:
+    """First byte offset >= pos of a real (non-stuffed, non-RST) marker."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        nxt = data[pos + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7 or nxt == 0xFF:
+            pos += 2 if nxt != 0xFF else 1
+            continue
+        return pos
+    raise CodecError("truncated JPEG (no trailing marker)")
+
+
+def _ac_first_block(reader: _BitReader, act: dict, row, Ss: int, Se: int,
+                    Al: int, eobrun: int) -> int:
+    """First pass (Ah=0) of an AC spectral band for one block
+    (G.1.2.2); returns the updated EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = Ss
+    while k <= Se:
+        rs = reader.read_huffman(act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read_bits(r)
+            break
+        k += r
+        if k > Se:
+            raise CodecError("AC coefficient outside spectral band")
+        row[k] = _extend(reader.read_bits(s), s) << Al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(reader: _BitReader, act: dict, row, Ss: int, Se: int,
+                     Al: int, eobrun: int) -> int:
+    """Refinement pass (Ah=Al+1) of an AC spectral band for one block
+    (G.1.2.3): new coefficients appear at +-2^Al, already-nonzero ones
+    receive one magnitude correction bit; EOB runs carry the correction
+    bits of the blocks they span.  Returns the updated EOB run."""
+    p1 = 1 << Al
+    k = Ss
+    if eobrun == 0:
+        while k <= Se:
+            rs = reader.read_huffman(act)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r)
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # ZRL: skip 16 zero-history positions (corrections ride)
+            else:
+                if s != 1:
+                    raise CodecError("bad refinement magnitude size")
+                newval = p1 if reader.read_bit() else -p1
+            while k <= Se:
+                c = row[k]
+                if c:
+                    if reader.read_bit() and not (c & p1):
+                        row[k] = c + (p1 if c > 0 else -p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= Se:
+                row[k] = newval
+            k += 1
+    if eobrun:
+        while k <= Se:
+            c = row[k]
+            if c and reader.read_bit() and not (c & p1):
+                row[k] = c + (p1 if c > 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _expect_restart(reader: _BitReader) -> None:
+    reader.byte_align()
+    try:
+        reader._next_byte()
+        raise CodecError("missing restart marker")
+    except _MarkerReached as m:
+        if not (0xFFD0 <= m.marker <= 0xFFD7):
+            raise CodecError("missing restart marker") from None
+        reader.pos += 2
+
+
+def _decode_progressive(data: bytes) -> np.ndarray:
+    """SOF2 progressive JPEG -> grayscale [h, w] or RGB [h, w, 3]."""
+    if data[:2] != b"\xff\xd8":
+        raise CodecError("not a JPEG (no SOI)")
+    pos = 2
+    n = len(data)
+    qtables: dict = {}
+    dc_tables: dict = {}
+    ac_tables: dict = {}
+    restart_interval = 0
+    frame = None  # (h, w, [(cid, tq, hi, vi)])
+    coefs: dict = {}  # cid -> (gh, gw, 64) zigzag grids
+    dims: dict = {}   # cid -> (comp_bh, comp_bw) non-interleaved grid
+    scans = 0
+    while pos + 2 <= n:
+        if data[pos] != 0xFF:
+            raise CodecError("bad JPEG marker alignment")
+        marker = (data[pos] << 8) | data[pos + 1]
+        if marker == 0xFFD9:
+            break
+        if pos + 4 > n:
+            raise CodecError("truncated JPEG")
+        (length,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + length]
+        if marker == 0xFFDB:
+            _parse_dqt_body(body, qtables)
+        elif marker == 0xFFC4:
+            _parse_dht_body(body, dc_tables, ac_tables)
+        elif marker == 0xFFDD:
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xFFC2:
+            if frame is not None:
+                raise CodecError("multiple frames")
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or ncomp not in (1, 3):
+                raise CodecError("only 8-bit 1- or 3-component progressive")
+            if len(body) < 6 + 3 * ncomp:
+                raise CodecError("truncated SOF2")
+            sof_comps = []
+            for ci in range(ncomp):
+                cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                sof_comps.append((cid, tq, sampling >> 4, sampling & 0x0F))
+            samplings = [(hi, vi) for _, _, hi, vi in sof_comps]
+            if not (
+                all(s == (1, 1) for s in samplings)
+                or (ncomp == 3 and samplings == [(2, 2), (1, 1), (1, 1)])
+            ):
+                raise CodecError("unsupported progressive sampling")
+            frame = (h, w, sof_comps)
+            hmax = max(hi for _, _, hi, _ in sof_comps)
+            vmax = max(vi for _, _, _, vi in sof_comps)
+            mx = (w + 8 * hmax - 1) // (8 * hmax)
+            my = (h + 8 * vmax - 1) // (8 * vmax)
+            for cid, tq, hi, vi in sof_comps:
+                coefs[cid] = np.zeros((my * vi, mx * hi, 64), dtype=np.int64)
+                cw = (w * hi + hmax - 1) // hmax
+                ch = (h * vi + vmax - 1) // vmax
+                dims[cid] = ((ch + 7) // 8, (cw + 7) // 8)
+        elif marker in (0xFFC0, 0xFFC1, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+                        0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
+            raise CodecError("unexpected frame type inside progressive")
+        elif marker == 0xFFDA:
+            if frame is None:
+                raise CodecError("SOS before SOF2")
+            pos = _decode_progressive_scan(
+                data, pos + 2 + length, body, frame, coefs, dims,
+                dc_tables, ac_tables, restart_interval,
+            )
+            scans += 1
+            continue
+        pos += 2 + length
+    if frame is None or scans == 0:
+        raise CodecError("truncated JPEG (missing SOF2/SOS)")
+
+    h, w, sof_comps = frame
+    hmax = max(hi for _, _, hi, _ in sof_comps)
+    vmax = max(vi for _, _, _, vi in sof_comps)
+    planes = []
+    for cid, tq, hi, vi in sof_comps:
+        if tq not in qtables:
+            raise CodecError("missing quantization table")
+        grid = coefs[cid]
+        gh, gw = grid.shape[:2]
+        plane = (
+            _idct_blocks(grid.reshape(-1, 64), qtables[tq])
+            .reshape(gh, gw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(gh * 8, gw * 8)
+        )
+        ry, rx = vmax // vi, hmax // hi
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        # clamp to 8-bit sample range BEFORE color conversion, exactly
+        # like the baseline path (_reassemble) — keeps progressive
+        # pixel-identical to baseline for the same coefficients
+        planes.append(
+            np.clip(plane[:h, :w], 0, 255).astype(np.float32)
+        )
+    if len(planes) == 1:
+        return np.clip(planes[0], 0, 255).astype(np.float32)
+    return ycbcr_to_rgb(np.stack(planes, axis=-1)).astype(np.float32)
+
+
+def _decode_progressive_scan(data: bytes, start: int, body: bytes, frame,
+                             coefs: dict, dims: dict, dc_tables: dict,
+                             ac_tables: dict, restart_interval: int) -> int:
+    """Decode one progressive scan's entropy data; returns the offset
+    of the next marker after the scan."""
+    h, w, sof_comps = frame
+    ns = body[0]
+    if len(body) < 1 + 2 * ns + 3:
+        raise CodecError("truncated SOS")
+    sel = []
+    by_id = {cid: (cid, tq, hi, vi) for cid, tq, hi, vi in sof_comps}
+    for ci in range(ns):
+        cs, tt = body[1 + 2 * ci], body[2 + 2 * ci]
+        if cs not in by_id:
+            raise CodecError("scan names an unknown component")
+        sel.append((cs, tt >> 4, tt & 0x0F))
+    ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0x0F
+    if not (0 <= ss <= se <= 63) or (ss == 0) != (se == 0):
+        raise CodecError("bad spectral band")
+    if ah not in (0, al + 1):
+        raise CodecError("bad successive approximation")
+    reader = _BitReader(data, start)
+
+    if ss == 0:  # DC scan (interleaved when ns > 1)
+        dc_sel = {}
+        for cs, td, _ in sel:
+            if ah == 0 and td not in dc_tables:
+                raise CodecError("missing Huffman table")
+            dc_sel[cs] = dc_tables.get(td)
+        hmax = max(hi for _, _, hi, _ in sof_comps)
+        vmax = max(vi for _, _, _, vi in sof_comps)
+        mx = (w + 8 * hmax - 1) // (8 * hmax)
+        my = (h + 8 * vmax - 1) // (8 * vmax)
+        if ns == 1:
+            # non-interleaved: the component's own block grid (T.81
+            # A.2.2 — no MCU padding)
+            cid = sel[0][0]
+            bh, bw = dims[cid]
+            units = [(cid, by, bx) for by in range(bh) for bx in range(bw)]
+            per_mcu = 1
+        else:
+            if [cs for cs, _, _ in sel] != [c for c, _, _, _ in sof_comps]:
+                raise CodecError("interleaved DC scan must cover the frame")
+            units = []
+            for i in range(my):
+                for j in range(mx):
+                    for cid, _, hi, vi in sof_comps:
+                        for v in range(vi):
+                            for hh in range(hi):
+                                units.append((cid, i * vi + v, j * hi + hh))
+            per_mcu = sum(hi * vi for _, _, hi, vi in sof_comps)
+        preds = {cs: 0 for cs, _, _ in sel}
+        for ui, (cid, by, bx) in enumerate(units):
+            if (restart_interval and ui and ui % (restart_interval * per_mcu) == 0):
+                _expect_restart(reader)
+                preds = {cs: 0 for cs, _, _ in sel}
+            row = coefs[cid][by, bx]
+            if ah == 0:
+                size = reader.read_huffman(dc_sel[cid])
+                preds[cid] += _extend(reader.read_bits(size), size)
+                row[0] = preds[cid] << al
+            else:
+                if reader.read_bit():
+                    row[0] |= 1 << al
+    else:  # AC scan: single component, non-interleaved
+        if ns != 1:
+            raise CodecError("interleaved AC scan is not legal JPEG")
+        cid, _, ta = sel[0]
+        if ta not in ac_tables:
+            raise CodecError("missing Huffman table")
+        act = ac_tables[ta]
+        bh, bw = dims[cid]
+        eobrun = 0
+        step = _ac_first_block if ah == 0 else _ac_refine_block
+        bi = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    _expect_restart(reader)
+                    eobrun = 0
+                eobrun = step(
+                    reader, act, coefs[cid][by, bx], ss, se, al, eobrun
+                )
+                bi += 1
+
+    return _next_marker_pos(data, reader.pos)
+
+
 def _idct_blocks(zz: np.ndarray, qtab: np.ndarray) -> np.ndarray:
     """[n, 64] zigzag coeffs -> [n, 8, 8] spatial blocks (+128 level)."""
     coeffs = (zz[:, UNZIGZAG].reshape(-1, 8, 8) * qtab.reshape(8, 8)).astype(
@@ -1315,13 +2079,24 @@ def _decode_color_420(data: bytes, comps: list, h: int, w: int,
         ysub = raw[0].reshape(n_mcu, 4, 64)
         zzs = [ysub[:, b, :] for b in range(4)] + [raw[1], raw[2]]
 
+    return _assemble_420(zzs, comps, h, w, my, mx)
+
+
+def _assemble_420(zzs: list, comps: list, h: int, w: int,
+                  my: int, mx: int) -> np.ndarray:
+    """Six per-phase [n_mcu, 64] coefficient arrays (Y 2x2 sub-blocks,
+    Cb, Cr) -> RGB [h, w, 3]."""
     y_blocks = np.zeros((2 * my, 2 * mx, 8, 8))
     for p, (r, c) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
         y_blocks[r::2, c::2] = _idct_blocks(zzs[p], comps[0][0]).reshape(
             my, mx, 8, 8
         )
     y_plane = y_blocks.transpose(0, 2, 1, 3).reshape(my * 16, mx * 16)[:h, :w]
-    planes = [y_plane]
+    # clamp each plane to the 8-bit sample range and drop to float32
+    # BEFORE color conversion — the same convention as _reassemble and
+    # the progressive assembly, so baseline 4:2:0, baseline 4:4:4, and
+    # progressive decodes of the same coefficients are bit-identical
+    planes = [np.clip(y_plane, 0, 255).astype(np.float32)]
     for p, ci in ((4, 1), (5, 2)):
         cp = (
             _idct_blocks(zzs[p], comps[ci][0])
@@ -1330,7 +2105,10 @@ def _decode_color_420(data: bytes, comps: list, h: int, w: int,
             .reshape(my * 8, mx * 8)
         )
         planes.append(
-            np.repeat(np.repeat(cp, 2, axis=0), 2, axis=1)[:h, :w]
+            np.clip(
+                np.repeat(np.repeat(cp, 2, axis=0), 2, axis=1)[:h, :w],
+                0, 255,
+            ).astype(np.float32)
         )
     return ycbcr_to_rgb(np.stack(planes, axis=-1)).astype(np.float32)
 

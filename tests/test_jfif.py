@@ -289,6 +289,99 @@ def test_color_strict_rejects():
             pass
 
 
+def test_progressive_equals_baseline(textured):
+    """Progressive (SOF2) decode: re-emitting the SAME quantized
+    coefficients across spectral-selection + successive-approximation
+    scans must decode pixel-IDENTICAL to the baseline stream — an exact
+    equality gate over the EOB-run / ZRL / correction-bit machinery."""
+    rng = np.random.default_rng(21)
+    images = [
+        textured,
+        np.round(rng.uniform(0, 255, (37, 51))).astype(np.uint8),
+        np.round(rng.uniform(0, 255, (16, 24))).astype(np.uint8),
+        np.full((24, 16), 200, np.uint8),
+    ]
+    for img in images:
+        for q in (85, 95):
+            base = jfif.decode_jfif(jfif.encode_jfif(img, q, restart_interval=0))
+            prog = jfif.decode_jfif(jfif.encode_jfif_progressive(img, q))
+            assert np.array_equal(base, prog), (img.shape, q)
+    # alternative scan scripts: no SA at all, deep SA, split DC bands
+    img = images[1]
+    for sc in (
+        ((0, 0, 0, 0), (1, 63, 0, 0)),
+        ((0, 0, 0, 2), (0, 0, 2, 1), (0, 0, 1, 0),
+         (1, 10, 0, 1), (11, 63, 0, 1), (1, 63, 1, 0)),
+        ((0, 0, 0, 0), (1, 1, 0, 0), (2, 5, 0, 3), (6, 63, 0, 3),
+         (2, 63, 3, 2), (2, 63, 2, 1), (2, 63, 1, 0)),
+    ):
+        base = jfif.decode_jfif(jfif.encode_jfif(img, 92, restart_interval=0))
+        prog = jfif.decode_jfif(jfif.encode_jfif_progressive(img, 92, scans=sc))
+        assert np.array_equal(base, prog), sc
+
+
+def test_progressive_dispatch_and_quarantine(textured):
+    """SOF2 streams route through codecs.decode / decode_batch (falling
+    off the grayscale batch path, never failing it), and malformed
+    progressive bytes quarantine as CodecError."""
+    prog = jfif.encode_jfif_progressive(textured, 90)
+    want = jfif.decode_jfif(prog)
+    assert np.array_equal(codecs.decode(prog, "jfif"), want)
+    base = jfif.encode_jfif(textured, 90)
+    got = codecs.decode_batch([base, prog], ["jfif", "jfif"])
+    assert np.array_equal(got[1], want)
+    assert np.array_equal(got[0], jfif.decode_jfif(base))
+    # truncation + corruption sweeps: CodecError or an array, only
+    for cut in range(2, len(prog), max(1, len(prog) // 25)):
+        try:
+            jfif.decode_jfif(prog[:cut])
+        except codecs.CodecError:
+            pass
+    for pos in range(2, len(prog), max(1, len(prog) // 50)):
+        corrupted = prog[:pos] + bytes([prog[pos] ^ 0xFF]) + prog[pos + 1 :]
+        try:
+            out = jfif.decode_jfif(corrupted)
+            assert isinstance(out, np.ndarray)
+        except codecs.CodecError:
+            pass
+
+
+def test_progressive_color_equals_baseline():
+    """Color progressive (SOF2, 4:4:4 and 4:2:0): same quantized
+    coefficients re-emitted progressively must decode pixel-IDENTICAL
+    to the baseline color stream — pins the interleaved-DC /
+    per-component-AC scan machinery AND the unified plane-clip
+    convention shared by _reassemble, _assemble_420, and the
+    progressive assembly."""
+    for seed, shape in ((3, (48, 64)), (5, (37, 51))):
+        rgb = _natural_color(seed)[: shape[0], : shape[1]]
+        for sub in ("444", "420"):
+            for q in (90, 95):
+                base = jfif.encode_jfif(rgb, q, subsampling=sub)
+                prog = jfif.encode_jfif_progressive(rgb, q, subsampling=sub)
+                d_b = jfif.decode_jfif_rgb(base)
+                d_p = jfif.decode_jfif_rgb(prog)
+                assert d_p.shape == rgb.shape
+                assert np.array_equal(d_b, d_p), (shape, sub, q)
+    # the grayscale mixdown (fingerprint path) rides the same planes
+    rgb = _natural_color(8)
+    prog = jfif.encode_jfif_progressive(rgb, 95)
+    assert np.array_equal(
+        jfif.decode_jfif(prog),
+        jfif.decode_jfif(jfif.encode_jfif(rgb, 95)),
+    )
+    # batch dispatch: a color-progressive row rides the per-image slow
+    # lane without aborting the batch's lockstep lanes
+    gray = np.round(
+        np.random.default_rng(2).uniform(0, 255, (32, 32))
+    ).astype(np.uint8)
+    got = codecs.decode_batch(
+        [jfif.encode_jfif(gray, 95), prog], ["jfif", "jfif"]
+    )
+    assert np.array_equal(got[0], jfif.decode_jfif(jfif.encode_jfif(gray, 95)))
+    assert np.array_equal(got[1], jfif.decode_jfif(prog))
+
+
 def test_property_roundtrip_bounded_error():
     """Property: for any image and quality >= 85, per-pixel error stays
     within the quantization-table bound (coarse but format-wide)."""
