@@ -554,6 +554,19 @@ def _encode_jfif(gray: np.ndarray, quality: int = 90) -> bytes:
     return jfif.encode_jfif(gray, quality)
 
 
+def _decode_webp(data: bytes) -> np.ndarray:
+    from mnemophonix_spark import webp
+
+    return webp.decode_webp(data)
+
+
+def _encode_webp(img: np.ndarray, **kw) -> bytes:
+    from mnemophonix_spark import webp
+
+    return webp.encode_webp(np.round(np.clip(img, 0, 255)).astype(np.uint8),
+                            **kw)
+
+
 _DECODERS = {
     "bmp": decode_bmp,
     "png": decode_png,
@@ -563,6 +576,8 @@ _DECODERS = {
     # its own format key so the FJPG-based `jpeg` corpus fixtures stay
     # byte-stable while a genuine lossy bitstream is supported
     "jfif": _decode_jfif,
+    # REAL WebP lossless (VP8L, RFC 9649, mnemophonix_spark.webp)
+    "webp": _decode_webp,
 }
 _ENCODERS = {
     "bmp": encode_bmp,
@@ -570,6 +585,7 @@ _ENCODERS = {
     "jpeg": encode_fake_jpeg,
     "pgm": encode_pgm,
     "jfif": _encode_jfif,
+    "webp": _encode_webp,
 }
 
 
@@ -620,6 +636,11 @@ def decode_batch(
                 continue
             if fmt == "jfif":
                 jfif_idx.append(i)
+                continue
+            if fmt == "webp":
+                # per-row: the encoder's flat8 shape already decodes
+                # through one unpackbits pass inside decode_webp
+                results[i] = _decode_webp(data)
                 continue
             if fmt == "jpeg":
                 if not data.startswith(_FJPG_MAGIC):

