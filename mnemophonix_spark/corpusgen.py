@@ -35,8 +35,9 @@ H_CHOICES = [64, 128, 256, 217]
 # baseline JFIF (T.81, DRI=1 lockstep-decodable) and netpbm PGM —
 # alongside png/bmp and the FJPG stand-in; with "jfif" present the
 # lossy duplicate kind (2) also encodes through the real JPEG codec.
+# Since the WebP codec landed, lossless VP8L rows ride the same mix.
 # Image fixtures and cached corpora regenerate with this list.
-FMT_CHOICES = ["png", "jpeg", "bmp", "jfif", "pgm"]
+FMT_CHOICES = ["png", "jpeg", "bmp", "jfif", "pgm", "webp"]
 
 _WORDS = [
     f"w{i:03d}" for i in range(446)
