@@ -135,12 +135,55 @@ def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
     return codes
 
 
+def _build_rev16() -> np.ndarray:
+    v = np.arange(1 << 16, dtype=np.uint32)
+    v = ((v >> 1) & 0x5555) | ((v & 0x5555) << 1)
+    v = ((v >> 2) & 0x3333) | ((v & 0x3333) << 2)
+    v = ((v >> 4) & 0x0F0F) | ((v & 0x0F0F) << 4)
+    v = ((v >> 8) | (v << 8)) & 0xFFFF
+    return v.astype(np.uint16)
+
+
+_REV16 = _build_rev16()
+
+
 def _revbits(v: int, n: int) -> int:
-    r = 0
-    for _ in range(n):
-        r = (r << 1) | (v & 1)
-        v >>= 1
-    return r
+    return int(_REV16[v]) >> (16 - n)
+
+
+def _lut_for_lengths(key: bytes) -> np.ndarray:
+    """16-bit-peek LUT for one canonical code, keyed by its code-length
+    bytes.  Vectorized canonical assignment: symbols sorted by
+    (length, symbol) get codes c_i = sum_{j<i} 2^(L_i - L_j), computed
+    as an integer prefix sum scaled by 2^L_i (exact — lengths ascend).
+    Cached because a corpus encoded by this module's encoder repeats
+    the same tables image after image (the flat8 green code above all),
+    so the build cost amortizes to one per distinct table per worker."""
+    lut = _LUT_CACHE.get(key)
+    if lut is not None:
+        return lut
+    lens = np.frombuffer(key, dtype=np.uint8).astype(np.int64)
+    syms = np.nonzero(lens)[0]
+    ls = lens[syms]
+    order = np.lexsort((syms, ls))
+    so, lo = syms[order], ls[order]
+    prefix = np.concatenate(([0], np.cumsum(1 << (_MAX_CODE_LEN - lo[:-1]))))
+    codes = (prefix << lo) >> _MAX_CODE_LEN
+    rcs = _REV16[codes].astype(np.int64) >> (16 - lo)
+    vals = (so << 4) | lo
+    # every 16-bit window starting with a code's reversed bits maps to
+    # that code: indices rc | (f << ln) are exactly the slice
+    # [rc :: 1 << ln], one numpy stride per symbol
+    lut = np.full(1 << 16, -1, dtype=np.int32)
+    for rc, ln, v in zip(rcs.tolist(), lo.tolist(), vals.tolist()):
+        lut[rc :: 1 << ln] = v
+    if len(_LUT_CACHE) >= 64:
+        _LUT_CACHE.clear()
+    _LUT_CACHE[key] = lut
+    return lut
+
+
+_LUT_CACHE: dict[bytes, np.ndarray] = {}
 
 
 class _PrefixCode:
@@ -148,11 +191,12 @@ class _PrefixCode:
     (codes appear in the stream bit-reversed, so the LUT is indexed by
     the raw LSB-first window)."""
 
-    __slots__ = ("lut", "single")
+    __slots__ = ("lut", "single", "flat8")
 
     def __init__(self, lengths: list[int], single: int | None = None):
         self.single = single
-        self.lut: list[int] | None = None
+        self.lut: np.ndarray | None = None
+        self.flat8 = False
         if single is not None:
             return
         maxlen = max(lengths)
@@ -164,14 +208,15 @@ class _PrefixCode:
             # a lone 1-bit code (from the simple-code path) is legal
             if not (len(nz) <= 2 and all(ln == 1 for ln in nz)):
                 raise CodecError("invalid prefix code (Kraft)")
-        # every 16-bit window starting with a code's reversed bits maps
-        # to that code: indices rc | (f << ln) are exactly the slice
-        # [rc :: 1 << ln], so the LUT builds in one numpy stride per
-        # symbol instead of a 65536-step Python loop
-        lut = np.full(1 << 16, -1, dtype=np.int32)
-        for sym, (code, ln) in _canonical_codes(lengths).items():
-            lut[_revbits(code, ln) :: 1 << ln] = (sym << 4) | ln
-        self.lut = lut
+        key = bytes(lengths)
+        self.lut = _lut_for_lengths(key)
+        # flat 8-bit literal code (this module's encoder always emits it
+        # for the green channel): lengths are exactly 8 for 0..255
+        self.flat8 = (
+            len(lengths) >= 256
+            and key[:256] == b"\x08" * 256
+            and not any(key[256:])
+        )
 
     def decode(self, r: _Reader) -> int:
         if self.single is not None:
@@ -223,28 +268,51 @@ def _read_prefix_code(r: _Reader, alphabet: int) -> _PrefixCode:
     lengths = [0] * alphabet
     prev_len = 8
     sym = 0
+    # inlined hot loop: locals for the reader state and the cl LUT —
+    # one code-length symbol costs a 3-byte little-endian window read,
+    # one LUT index, and a position bump (no method dispatch)
+    buf, pos, nbits = r.buf, r.pos, r.n
+    cl_lut = cl_code.lut
+    cl_single = cl_code.single
     while sym < alphabet:
         if max_symbol == 0:
             break
         max_symbol -= 1
-        cl = cl_code.decode(r)
+        if cl_single is not None:
+            cl = cl_single
+        else:
+            b0 = pos >> 3
+            e = cl_lut[
+                (int.from_bytes(buf[b0 : b0 + 3], "little") >> (pos & 7))
+                & 0xFFFF
+            ]
+            if e < 0:
+                r.pos = pos
+                raise CodecError("invalid prefix code word")
+            pos += e & 0xF
+            if pos > nbits:
+                r.pos = pos
+                raise CodecError("truncated VP8L stream")
+            cl = e >> 4
         if cl < 16:
             lengths[sym] = cl
             sym += 1
             if cl:
                 prev_len = cl
         else:
+            r.pos = pos
             if cl == 16:
                 repeat, fill = 3 + r.read(2), prev_len
             elif cl == 17:
                 repeat, fill = 3 + r.read(3), 0
             else:
                 repeat, fill = 11 + r.read(7), 0
+            pos = r.pos
             if sym + repeat > alphabet:
                 raise CodecError("code-length repeat overflows alphabet")
-            for _ in range(repeat):
-                lengths[sym] = fill
-                sym += 1
+            lengths[sym : sym + repeat] = [fill] * repeat
+            sym += repeat
+    r.pos = pos
     if not any(lengths):
         raise CodecError("empty prefix code")
     nz2 = [s for s, ln in enumerate(lengths) if ln]
@@ -369,10 +437,7 @@ def _decode_pixels(r, xsize, ysize, groups, entropy, meta_bits, cache_bits):
         and blue_c.single is not None
         and alpha_c.single is not None
     ):
-        flat = all(
-            g.lut[_revbits(s, 8)] == ((s << 4) | 8) for s in (0, 1, 255, 128)
-        )
-        if flat and all((g.lut[i] & 0xF) == 8 for i in range(256)):
+        if g.flat8:
             p = r.pos
             need = npx * 8
             if p + need > r.n:
