@@ -232,9 +232,45 @@ class _PrefixCode:
         return e >> 4
 
 
+def _masked_window(buf: bytes, s: int, e: int) -> bytes:
+    """Bytes covering bit range [s, e) with out-of-range bits zeroed
+    (LSB-first bit order: bit i lives at byte[i >> 3] bit (i & 7))."""
+    w = bytearray(buf[s >> 3 : (e + 7) >> 3])
+    w[0] &= (0xFF << (s & 7)) & 0xFF
+    w[-1] &= (1 << (((e - 1) & 7) + 1)) - 1
+    return bytes(w)
+
+
+# parsed prefix-code section cache: the corpus encoder writes the same
+# section bytes at the same bit alignment image after image, so one
+# masked-window compare replaces the ~260-iteration code-length read
+# loop.  Keyed (start_bit_alignment, alphabet) -> few (window, nbits,
+# PrefixCode) entries; masked edges make the compare exact even though
+# neighboring stream content shares the boundary bytes.
+_SECTION_CACHE: dict[tuple[int, int], list] = {}
+
+
 def _read_prefix_code(r: _Reader, alphabet: int) -> _PrefixCode:
     """One prefix code: simple (1-2 symbols) or code-length coded
     (spec 5.2.2)."""
+    start = r.pos
+    skey = (start & 7, alphabet)
+    for win, nbits, pc in _SECTION_CACHE.get(skey, ()):
+        if (
+            start + nbits <= r.n
+            and _masked_window(r.buf, start, start + nbits) == win
+        ):
+            r.pos = start + nbits
+            return pc
+    pc = _read_prefix_code_uncached(r, alphabet)
+    entries = _SECTION_CACHE.setdefault(skey, [])
+    if len(entries) >= 4:
+        entries.pop(0)
+    entries.append((_masked_window(r.buf, start, r.pos), r.pos - start, pc))
+    return pc
+
+
+def _read_prefix_code_uncached(r: _Reader, alphabet: int) -> _PrefixCode:
     if r.read(1):  # simple
         num_symbols = r.read(1) + 1
         first_8bit = r.read(1)
