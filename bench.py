@@ -110,6 +110,7 @@ def main() -> None:
 
     png_mixed = _bench_png_mixed_filters()
     jfif_paths = _bench_jfif_decode_paths()
+    webp_paths = _bench_webp_decode_paths()
     lsh_paths = _bench_lsh_bucket_paths(spark)
     simhash_paths = _bench_simhash_paths(spark)
     audio_tp = _bench_audio_chain(spark)
@@ -132,6 +133,9 @@ def main() -> None:
         # vs single-image lockstep vs cross-image batched lockstep (the
         # fingerprint hot path) — records the gap that justifies DRI=1
         "jfif_decode_paths": jfif_paths,
+        # real-WebP decode tiers: cold general parse vs the warm
+        # cross-image section cache the corpus fingerprint path rides
+        "webp_decode_paths": webp_paths,
         # explode vs Arrow-matmul hyperplane bucketing at high dim (the
         # explode stays as the SQL-oracle formulation; the matmul path
         # is the scale path — this records the gap that justifies it)
@@ -235,6 +239,45 @@ def _bench_jfif_decode_paths() -> dict:
         "ms_lockstep_single": round(t_single * 1000, 3),
         "ms_lockstep_batched": round(t_batch * 1000, 3),
         "batch_speedup_vs_listpath": round(t_list / t_batch, 2),
+    }
+
+
+def _bench_webp_decode_paths() -> dict:
+    """Single-core WebP (VP8L) decode on corpus-statistics content:
+    cold (section/LUT caches cleared — the general prefix-code parse a
+    foreign stream pays) vs warm (the cross-image masked-window section
+    cache the corpus path rides, since the encoder repeats identical
+    code tables image after image)."""
+    import numpy as np
+
+    from mnemophonix_spark import corpusgen, webp
+
+    imgs = [
+        np.round(corpusgen._base_image(np.random.default_rng(700 + i))).astype(
+            np.uint8
+        )
+        for i in range(48)
+    ]
+    datas = [webp.encode_webp(im) for im in imgs]
+    n = len(datas)
+    webp._SECTION_CACHE.clear()
+    webp._LUT_CACHE.clear()
+    t0 = time.time()
+    for d in datas:
+        webp._SECTION_CACHE.clear()
+        webp._LUT_CACHE.clear()
+        webp.decode_webp(d)
+    t_cold = (time.time() - t0) / n
+    webp.decode_webp(datas[0])  # prime caches
+    t0 = time.time()
+    for d in datas:
+        webp.decode_webp(d)
+    t_warm = (time.time() - t0) / n
+    return {
+        "images": n,
+        "ms_cold": round(t_cold * 1000, 3),
+        "ms_warm_cached": round(t_warm * 1000, 3),
+        "cache_speedup": round(t_cold / t_warm, 2),
     }
 
 
