@@ -273,11 +273,15 @@ def _bench_webp_decode_paths() -> dict:
     for d in datas:
         webp.decode_webp(d)
     t_warm = (time.time() - t0) / n
+    t0 = time.time()
+    webp.decode_webp_gray_batch(datas)
+    t_batch = (time.time() - t0) / n
     return {
         "images": n,
         "ms_cold": round(t_cold * 1000, 3),
         "ms_warm_cached": round(t_warm * 1000, 3),
-        "cache_speedup": round(t_cold / t_warm, 2),
+        "ms_batched": round(t_batch * 1000, 3),
+        "batch_speedup_vs_cold": round(t_cold / t_batch, 2),
     }
 
 

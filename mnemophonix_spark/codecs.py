@@ -625,6 +625,7 @@ def decode_batch(
     results: list[np.ndarray | CodecError | None] = [None] * n
     groups: dict[tuple[int, int], list[tuple[int, np.ndarray]]] = {}
     jfif_idx: list[int] = []
+    webp_idx: list[int] = []
     for i in range(n):
         data, fmt = payloads[i], fmts[i]
         try:
@@ -638,9 +639,7 @@ def decode_batch(
                 jfif_idx.append(i)
                 continue
             if fmt == "webp":
-                # per-row: the encoder's flat8 shape already decodes
-                # through one unpackbits pass inside decode_webp
-                results[i] = _decode_webp(data)
+                webp_idx.append(i)
                 continue
             if fmt == "jpeg":
                 if not data.startswith(_FJPG_MAGIC):
@@ -667,6 +666,27 @@ def decode_batch(
         outs = _unfilter_batch(np.stack([s for _, s in items]), w, h)
         for j, (i, _) in enumerate(items):
             results[i] = outs[j].astype(np.float32)
+    if webp_idx:
+        from mnemophonix_spark import webp as _webp
+
+        # flat8-shape rows (the corpus encoder default) batch into one
+        # unpackbits + matvec pass per (h, w) group inside
+        # decode_webp_gray_batch; foreign shapes decode per-image
+        # inside it.  A CodecError out of the batch (malformed row)
+        # drops every webp row to the per-row loop so quarantine stays
+        # per-row — same recovery pattern as the jfif group below.
+        try:
+            outs_w = _webp.decode_webp_gray_batch(
+                [payloads[i] for i in webp_idx]
+            )
+            for i, out in zip(webp_idx, outs_w):
+                results[i] = out
+        except CodecError:
+            for i in webp_idx:
+                try:
+                    results[i] = _decode_webp(payloads[i])
+                except CodecError as e:
+                    results[i] = e
     if jfif_idx:
         from mnemophonix_spark import jfif as _jfif
 

@@ -479,13 +479,12 @@ def _decode_pixels(r, xsize, ysize, groups, entropy, meta_bits, cache_bits):
             need = npx * 8
             if p + need > r.n:
                 raise CodecError("truncated VP8L stream")
-            bits = np.unpackbits(
-                np.frombuffer(r.buf, dtype=np.uint8), bitorder="little"
-            )[p : p + need]
-            greens = (
-                bits.reshape(npx, 8)
-                @ np.array([128, 64, 32, 16, 8, 4, 2, 1], dtype=np.uint32)
-            ).astype(np.uint32)
+            off = p & 7
+            nbytes = (off + need + 7) >> 3
+            row = np.frombuffer(r.buf, np.uint8, nbytes, p >> 3)[None, :]
+            greens = _REV8[_realigned_bytes(row, off, npx)][0].astype(
+                np.uint32
+            )
             r.pos = p + need
             out[:] = (
                 (np.uint32(alpha_c.single) << 24)
@@ -773,6 +772,107 @@ def decode_webp(data: bytes) -> np.ndarray:
     ).all():
         return rgb[:, :, 0]
     return rgb.mean(axis=2).astype(np.float32)
+
+
+def _parse_flat8_prelude(data: bytes):
+    """If ``data`` is a flat8-shape stream (subtract-green only, no
+    cache, no meta-prefix, flat 8-bit green code, single-symbol
+    R/B/A), return (h, w, r0, b0, a0, buf, pixel_start_bit); else None.
+    Reads the exact bit sequence the encoder's flat8 mode writes; any
+    deviation means the stream needs the general decoder."""
+    body = _vp8l_payload(data)
+    if not body or body[0] != 0x2F:
+        raise CodecError("bad VP8L signature")
+    r = _Reader(body, 8)
+    w = r.read(14) + 1
+    h = r.read(14) + 1
+    r.read(1)
+    if r.read(3) != 0:
+        raise CodecError("bad VP8L version")
+    # transforms: exactly [subtract-green]
+    if r.read(1) != 1 or r.read(2) != 2 or r.read(1) != 0:
+        return None
+    if r.read(1) != 0:  # color cache
+        return None
+    if r.read(1) != 0:  # meta prefix
+        return None
+    g = _read_prefix_code(r, 256 + 24)
+    red = _read_prefix_code(r, 256)
+    blue = _read_prefix_code(r, 256)
+    alpha = _read_prefix_code(r, 256)
+    _read_prefix_code(r, 40)
+    if not (
+        g.flat8
+        and red.single is not None
+        and blue.single is not None
+        and alpha.single is not None
+    ):
+        return None
+    if r.pos + h * w * 8 > r.n:
+        raise CodecError("truncated VP8L stream")
+    return h, w, red.single, blue.single, alpha.single, body, r.pos
+
+
+# 8-bit bit-reverse LUT: a flat8 green symbol is its canonical 8-bit
+# code bit-reversed in the stream, so 8 consecutive stream bits read
+# LSB-first equal REV8[realigned byte] — one gather, no unpackbits
+_REV8 = (_REV16[np.arange(256)] >> 8).astype(np.uint8)
+
+
+def _realigned_bytes(stack: np.ndarray, off: int, count: int) -> np.ndarray:
+    """Rows of ``stack`` viewed as bitstreams starting ``off`` bits in:
+    returns ``count`` realigned bytes per row (vectorized funnel shift)."""
+    if off == 0:
+        return stack[:, :count]
+    lo = stack[:, :-1].astype(np.uint16)
+    hi = stack[:, 1:].astype(np.uint16)
+    return (((lo >> off) | (hi << (8 - off))) & 0xFF).astype(np.uint8)[
+        :, :count
+    ]
+
+
+def decode_webp_gray_batch(datas: list) -> list:
+    """Batched decode for an Arrow batch of webp rows: flat8 streams
+    (the corpus encoder's default shape) group by (h, w, constants,
+    start alignment) and decode their pixel payloads in ONE unpackbits
+    + matvec pass per group — the same cross-image batching posture as
+    decode_jfif_batch and the PNG wavefront.  Anything else (foreign
+    streams, color content, malformed bytes) falls back to the general
+    per-image decoder; per-image CodecErrors propagate per slot via
+    re-raise from that fallback."""
+    results: list = [None] * len(datas)
+    groups: dict = {}
+    for i, data in enumerate(datas):
+        try:
+            pre = _parse_flat8_prelude(bytes(data))
+        except CodecError:
+            pre = None
+        except Exception:
+            pre = None
+        if pre is None:
+            results[i] = decode_webp(bytes(datas[i]))
+            continue
+        h, w, r0, b0, a0, body, pos = pre
+        groups.setdefault((h, w, r0, b0, a0, pos & 7), []).append(
+            (i, body, pos)
+        )
+    for (h, w, r0, b0, _a0, off), items in groups.items():
+        npx = h * w
+        nbytes = (off + npx * 8 + 7) >> 3
+        stack = np.empty((len(items), nbytes), dtype=np.uint8)
+        for k, (_i, body, pos) in enumerate(items):
+            stack[k] = np.frombuffer(body, np.uint8, nbytes, pos >> 3)
+        greens = _REV8[_realigned_bytes(stack, off, npx)]
+        if r0 == 0 and b0 == 0:
+            luma = greens.astype(np.float32)  # pure gray
+        else:
+            g16 = greens.astype(np.uint16)
+            rch = ((g16 + r0) & 0xFF).astype(np.float32)
+            bch = ((g16 + b0) & 0xFF).astype(np.float32)
+            luma = (rch + greens + bch) / np.float32(3.0)
+        for k, (i, _body, _pos) in enumerate(items):
+            results[i] = luma[k].reshape(h, w).astype(np.float32)
+    return results
 
 
 # --- encoder ---------------------------------------------------------------
