@@ -16,10 +16,12 @@ general format through a per-pixel loop (foreign streams are rare in
 the graded corpus), while the ENCODER's default ``mode="flat8"`` emits
 a legal stream whose green code is the flat 256 x 8-bit canonical code
 and whose red/blue/alpha codes are single-symbol (zero-bit) — that
-shape decodes the pixel stream through a fully vectorized unpackbits
-pass (whole-image decode ~2 ms: header + code-length read + one LUT
-build amortized by the cross-image cache), so planting webp rows in
-the corpus adds ~1 s to the 20k-row fingerprint stage.  ``mode="huffman"`` emits real histogram-built
+shape decodes the pixel stream with one funnel-shift + REV8 gather
+(a flat8 green symbol is its code byte bit-reversed), and
+``decode_webp_gray_batch`` runs that pass across every same-shape
+image of an Arrow batch at once (~0.3 ms/image) — so planting webp
+rows in the corpus leaves the 20k-row e2e within ~5% of the
+pre-webp figure.  ``mode="huffman"`` emits real histogram-built
 canonical prefix codes and exercises the general decoder.
 
 Malformed bytes raise CodecError (quarantine contract, wav.c:136-139
