@@ -560,6 +560,18 @@ def _decode_webp(data: bytes) -> np.ndarray:
     return webp.decode_webp(data)
 
 
+def _decode_gif(data: bytes) -> np.ndarray:
+    from mnemophonix_spark import gif
+
+    return gif.decode_gif(data)
+
+
+def _encode_gif(gray: np.ndarray) -> bytes:
+    from mnemophonix_spark import gif
+
+    return gif.encode_gif(gray)
+
+
 def _encode_webp(img: np.ndarray, **kw) -> bytes:
     from mnemophonix_spark import webp
 
@@ -578,6 +590,8 @@ _DECODERS = {
     "jfif": _decode_jfif,
     # REAL WebP lossless (VP8L, RFC 9649, mnemophonix_spark.webp)
     "webp": _decode_webp,
+    # REAL GIF87a/89a (LZW, mnemophonix_spark.gif)
+    "gif": _decode_gif,
 }
 _ENCODERS = {
     "bmp": encode_bmp,
@@ -586,6 +600,7 @@ _ENCODERS = {
     "pgm": encode_pgm,
     "jfif": _encode_jfif,
     "webp": _encode_webp,
+    "gif": _encode_gif,
 }
 
 
@@ -634,6 +649,12 @@ def decode_batch(
                 continue
             if fmt == "pgm":
                 results[i] = decode_pgm(data)
+                continue
+            if fmt == "gif":
+                # LZW decode is already fully vectorized per image
+                # (segment gathers + pointer doubling, gif.py); no
+                # cross-image amortization left worth grouping for
+                results[i] = _decode_gif(data)
                 continue
             if fmt == "jfif":
                 jfif_idx.append(i)
