@@ -37,7 +37,7 @@ H_CHOICES = [64, 128, 256, 217]
 # lossy duplicate kind (2) also encodes through the real JPEG codec.
 # Since the WebP codec landed, lossless VP8L rows ride the same mix.
 # Image fixtures and cached corpora regenerate with this list.
-FMT_CHOICES = ["png", "jpeg", "bmp", "jfif", "pgm", "webp"]
+FMT_CHOICES = ["png", "jpeg", "bmp", "jfif", "pgm", "webp", "gif"]
 
 _WORDS = [
     f"w{i:03d}" for i in range(446)

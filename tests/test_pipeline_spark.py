@@ -66,6 +66,10 @@ def test_quarantine_bad_rows(spark):
             # per-row decode must quarantine, not kill the Arrow task
             ("badwebp", bytearray(b"RIFF\x10\x00\x00\x00WEBPVP8L\x04\x00\x00\x00\x2f\xff\xff"),
              1, 1, "webp", "cap", 0),
+            # valid GIF magic, garbage body: the gif per-row decode
+            # must quarantine, not kill the Arrow task
+            ("badgif", bytearray(b"GIF89a\x04\x00\x04\x00\x80\x00\x00junk"),
+             1, 1, "gif", "cap", 0),
         ],
         "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
     )
@@ -76,6 +80,8 @@ def test_quarantine_bad_rows(spark):
     assert out["bad"]["minhash"] is None
     assert out["badwebp"]["decode_error"] is not None
     assert out["badwebp"]["minhash"] is None
+    assert out["badgif"]["decode_error"] is not None
+    assert out["badgif"]["minhash"] is None
 
 
 def test_resume_skips_committed_stages(spark, corpus_dir, tmp_path):
@@ -458,10 +464,10 @@ def test_color_jfif_rows_in_dedup_chain(spark):
 
 def test_real_format_corpus_end_to_end(spark, tmp_path):
     """The full dedup stack over a corpus of REAL formats only — actual
-    baseline JPEG (jfif), netpbm (pgm), WebP lossless (webp), and PNG —
-    must recover the planted image-chain pairs at the recall contract,
-    proving the real codecs through fingerprint -> LSH -> score ->
-    verify -> cluster, not just through codec roundtrips."""
+    baseline JPEG (jfif), netpbm (pgm), WebP lossless (webp), GIF, and
+    PNG — must recover the planted image-chain pairs at the recall
+    contract, proving the real codecs through fingerprint -> LSH ->
+    score -> verify -> cluster, not just through codec roundtrips."""
     import pyarrow.parquet as pq
 
     from mnemophonix_spark import corpusgen
@@ -475,9 +481,9 @@ def test_real_format_corpus_end_to_end(spark, tmp_path):
 
     out = str(tmp_path / "realfmt")
     c = corpusgen.write_corpus(out, 120, seed=11,
-                               fmt_choices=["jfif", "pgm", "png", "webp"])
+                               fmt_choices=["jfif", "pgm", "png", "webp", "gif"])
     fmts = {r["fmt"] for r in c.rows}
-    assert fmts == {"jfif", "pgm", "png", "webp"}
+    assert fmts == {"jfif", "pgm", "png", "webp", "gif"}
 
     corpus = spark.read.parquet(f"{out}/corpus")
     sigs = fingerprint(corpus).persist()
