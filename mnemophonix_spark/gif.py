@@ -402,6 +402,153 @@ def decode_gif(data: bytes) -> np.ndarray:
         return rgb.astype(np.float32).mean(axis=2)
 
 
+def _parse_gce(data: bytes, pos: int) -> tuple[int, int | None, int]:
+    """Parse a Graphic Control Extension body starting at its first
+    sub-block; returns (disposal, transparent_index|None, new_pos)."""
+    disposal, trans = 0, None
+    while True:
+        if pos >= len(data):
+            raise CodecError("truncated GCE")
+        sz = data[pos]
+        pos += 1
+        if sz == 0:
+            return disposal, trans, pos
+        if pos + sz > len(data):
+            raise CodecError("truncated GCE body")
+        if sz >= 4:
+            flags = data[pos]
+            disposal = (flags >> 2) & 0x07
+            if flags & 0x01:
+                trans = data[pos + 3]
+        pos += sz
+
+
+def decode_gif_frames(data: bytes, max_frames: int = 4096) -> np.ndarray:
+    """Animated GIF -> [n, h, w] float32 composed grayscale frames.
+
+    The multimodal video path's second REAL container (alongside
+    MJPEG-in-AVI, multimodal.py): walks every image descriptor,
+    honoring per-frame Graphic Control Extensions — transparency index
+    (transparent pixels keep the canvas), disposal 2 (restore frame
+    rect to background) and 3 (restore previous canvas) — and
+    composing partial frames at their (left, top) offsets onto the
+    logical screen, per the GIF89a spec's animation model.  Each
+    yielded frame is the canvas after composition, mixed down by
+    per-pixel channel mean (wav.c:364-374 analog).
+    """
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise CodecError("not a GIF")
+    sw, sh = struct.unpack_from("<HH", data, 6)
+    if sw <= 0 or sh <= 0 or sw * sh > _MAX_PIXELS:
+        raise CodecError(f"bad GIF logical screen {sw}x{sh}")
+    packed = data[10]
+    bg_index = data[11]
+    global_pal, pos = _read_color_table(data, 13, packed)
+    if global_pal is not None and bg_index < len(global_pal):
+        bg_rgb = global_pal[bg_index].astype(np.float32)
+    else:
+        bg_rgb = np.zeros(3, dtype=np.float32)
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+    frames: list[np.ndarray] = []
+    disposal, trans = 0, None
+    while True:
+        if pos >= len(data):
+            raise CodecError("GIF ended without trailer")
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            if pos >= len(data):
+                raise CodecError("truncated extension")
+            label = data[pos]
+            pos += 1
+            if label == 0xF9:
+                disposal, trans, pos = _parse_gce(data, pos)
+            else:
+                pos = _skip_subblocks(data, pos)
+            continue
+        if block != 0x2C:
+            raise CodecError(f"unknown GIF block 0x{block:02x}")
+        if pos + 9 > len(data):
+            raise CodecError("truncated image descriptor")
+        left, top, w, h = struct.unpack_from("<HHHH", data, pos)
+        ipacked = data[pos + 8]
+        pos += 9
+        if w <= 0 or h <= 0 or left + w > sw or top + h > sh:
+            raise CodecError(f"bad GIF frame rect {left},{top} {w}x{h}")
+        local_pal, pos = _read_color_table(data, pos, ipacked)
+        pal = local_pal if local_pal is not None else global_pal
+        if pal is None:
+            raise CodecError("GIF frame has no color table")
+        if pos >= len(data):
+            raise CodecError("missing LZW min code size")
+        min_code_size = data[pos]
+        pos += 1
+        stream, pos = _collect_subblocks(data, pos)
+        raw = _lzw_decode_fast(stream, min_code_size, w * h)
+        if len(raw) < w * h:
+            raise CodecError(f"LZW underrun: {len(raw)} of {w * h} pixels")
+        idx = np.frombuffer(raw[: w * h], dtype=np.uint8)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise CodecError("palette index out of range")
+        rows = idx.reshape(h, w)
+        if ipacked & 0x40:
+            order = np.concatenate(
+                [np.arange(s, h, st) for s, st in _INTERLACE_PASSES]
+            )
+            out_rows = np.empty_like(rows)
+            out_rows[order] = rows
+            rows = out_rows
+        prev = canvas.copy() if disposal == 3 else None
+        rect = canvas[top : top + h, left : left + w]
+        rgb = pal[rows].astype(np.float32)
+        if trans is None:
+            rect[:] = rgb
+        else:
+            opaque = rows != trans
+            rect[opaque] = rgb[opaque]
+        frames.append(canvas.mean(axis=2).astype(np.float32))
+        if len(frames) >= max_frames:
+            break
+        if disposal == 2:
+            rect[:] = bg_rgb
+        elif disposal == 3 and prev is not None:
+            canvas = prev
+        disposal, trans = 0, None
+    if not frames:
+        raise CodecError("no image frame in GIF")
+    return np.stack(frames)
+
+
+def encode_gif_frames(frames: np.ndarray) -> bytes:
+    """[n, h, w] grayscale -> animated GIF89a (full-frame replacement,
+    disposal 1, NETSCAPE loop extension, 256-gray global palette).
+    Lossless per frame, so planted clone entries decode bit-identical."""
+    f = np.round(np.clip(np.asarray(frames, dtype=np.float64), 0, 255)).astype(
+        np.uint8
+    )
+    if f.ndim != 3 or f.shape[0] < 1:
+        raise ValueError("encode_gif_frames expects [n, h, w]")
+    n, h, w = f.shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x70 | 0x07, 0, 0)
+    out += np.repeat(np.arange(256, dtype=np.uint8), 3).tobytes()
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop forever
+    for k in range(n):
+        out += b"\x21\xf9\x04\x04\x04\x00\x00\x00"  # GCE: disposal 1, 4cs
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        lzw = _lzw_encode(f[k].tobytes(), 8)
+        out.append(8)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
 def encode_gif(gray: np.ndarray) -> bytes:
     """Grayscale [h, w] -> single-frame GIF87a with a 256-gray palette."""
     g = np.round(np.clip(np.asarray(gray, dtype=np.float64), 0, 255)).astype(np.uint8)

@@ -213,9 +213,15 @@ def decode_avi_mjpeg(data: bytes) -> np.ndarray:
 
 
 def decode_video(data: bytes) -> np.ndarray:
-    """Video payload dispatch: real MJPEG-AVI, else the FVID stand-in."""
+    """Video payload dispatch by magic: real MJPEG-AVI, real animated
+    GIF (gif.decode_gif_frames — composition, transparency, disposal),
+    else the FVID stand-in."""
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         return decode_avi_mjpeg(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from mnemophonix_spark import gif
+
+        return gif.decode_gif_frames(data)
     return decode_fake_video(data)
 
 
@@ -563,13 +569,28 @@ _BASE_FRAMES = {0: 20, 1: 12, 2: 10, 3: 30}
 
 
 def synthesize_media(n: int = 40, seed: int = 9) -> list[tuple[str, bytes]]:
-    """Deterministic fake-video table rows (media_id, bytes): 48x64 u8
+    """Deterministic video table rows (media_id, bytes): 48x64 u8
     frames from a seeded RNG; every 10th row is a corrupt payload so
     the quarantine path is exercised end-to-end, and rows 30-33 are
     planted clones of rows 0-3 (see _CLONES) so the per-entry
-    aggregation decision has ground truth."""
+    aggregation decision has ground truth.
+
+    Containers rotate by ``i % 3`` — FVID stand-in, REAL MJPEG-in-AVI,
+    REAL animated GIF — so the graded media corpus exercises every
+    video decode path, not just the stand-in.  The rotation keeps each
+    planted clone in its base row's container (30=0, 31=1, 32=2, 33=3
+    mod 3), so clone frames decode bit-identical even through the
+    lossy AVI tier (same deterministic encoder, same input frames).
+    """
+    from mnemophonix_spark import gif
+
     frames_by_idx: dict[int, np.ndarray] = {}
     rows: list[tuple[str, bytes]] = []
+    encoders = [
+        encode_fake_video,
+        lambda f: encode_avi_mjpeg(f, quality=95),
+        gif.encode_gif_frames,
+    ]
     for i in range(n):
         mid = f"media{i:05d}"
         if i % 10 == 9:
@@ -587,9 +608,11 @@ def synthesize_media(n: int = 40, seed: int = 9) -> list[tuple[str, bytes]]:
             # uniform noise averages flat under the 128x32 canonical
             # resize and every frame trips the silence gate
             coarse = rng.uniform(0, 255, size=(n_frames, 6, 8))
-            frames = np.kron(coarse, np.ones((1, 8, 8)))
+            # uint8 up front so every container (truncating FVID,
+            # rounding AVI/GIF) sees identical integral input
+            frames = np.kron(coarse, np.ones((1, 8, 8))).astype(np.uint8)
             frames_by_idx[i] = frames
-        rows.append((mid, encode_fake_video(frames)))
+        rows.append((mid, encoders[i % 3](frames)))
     return rows
 
 

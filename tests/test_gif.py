@@ -199,6 +199,131 @@ def test_first_frame_only(rng):
     assert np.array_equal(gif.decode_gif(two), a.astype(np.float32))
 
 
+# --- animated GIF (video container) ----------------------------------------
+
+
+def test_animated_roundtrip(rng):
+    frames = rng.integers(0, 256, (6, 24, 32)).astype(np.float64)
+    out = gif.decode_gif_frames(gif.encode_gif_frames(frames))
+    assert out.shape == (6, 24, 32)
+    assert np.array_equal(out, np.round(frames).astype(np.float32))
+
+
+def test_animated_first_frame_matches_single_decode(rng):
+    frames = rng.integers(0, 256, (3, 16, 16)).astype(np.float64)
+    data = gif.encode_gif_frames(frames)
+    assert np.array_equal(gif.decode_gif(data), np.round(frames[0]).astype(np.float32))
+
+
+def test_animated_max_frames_cap(rng):
+    frames = rng.integers(0, 256, (8, 8, 8)).astype(np.float64)
+    out = gif.decode_gif_frames(gif.encode_gif_frames(frames), max_frames=3)
+    assert out.shape[0] == 3
+
+
+def _anim_shell(sw, sh, pal, blocks):
+    out = bytearray(b"GIF89a")
+    bits = max(1, (len(pal) - 1).bit_length())
+    pad = np.zeros((1 << bits, 3), dtype=np.uint8)
+    pad[: len(pal)] = pal
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | (bits - 1), 1, 0)  # bg idx 1
+    out += pad.tobytes()
+    for b in blocks:
+        out += b
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _frame_block(idx, left, top, *, gce=None):
+    h, w = idx.shape
+    out = bytearray()
+    if gce is not None:
+        out += b"\x21\xf9\x04" + bytes([gce[0] << 2 | (1 if gce[1] is not None else 0),
+                                        0, 0, gce[1] or 0]) + b"\x00"
+    out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0)
+    mcs = 2
+    lzw = gif._lzw_encode(idx.astype(np.uint8).tobytes(), mcs)
+    out.append(mcs)
+    for i in range(0, len(lzw), 255):
+        out.append(len(lzw[i : i + 255]))
+        out += lzw[i : i + 255]
+    out.append(0)
+    return bytes(out)
+
+
+def test_animated_composition_offsets_and_transparency():
+    # palette: 0=black 1=white 2=gray; bg index 1 (white)
+    pal = np.array([[0, 0, 0], [255, 255, 255], [100, 100, 100]], dtype=np.uint8)
+    f1 = np.zeros((4, 4), dtype=np.uint8)            # full-screen black
+    f2 = np.full((2, 2), 2, dtype=np.uint8)          # gray patch at (1,1)
+    f2[0, 0] = 3                                     # transparent px (idx 3)
+    pal4 = np.vstack([pal, [[9, 9, 9]]])
+    data = _anim_shell(4, 4, pal4, [
+        _frame_block(f1, 0, 0),
+        _frame_block(f2, 1, 1, gce=(0, 3)),          # keep, transparency 3
+    ])
+    out = gif.decode_gif_frames(data)
+    assert out.shape == (2, 4, 4)
+    assert np.all(out[0] == 0.0)
+    want = np.zeros((4, 4), dtype=np.float32)
+    want[1:3, 1:3] = 100.0
+    want[1, 1] = 0.0  # transparent keeps frame-1 black
+    assert np.array_equal(out[1], want)
+
+
+def test_animated_disposal_background_and_previous():
+    pal = np.array([[0, 0, 0], [255, 255, 255], [100, 100, 100],
+                    [200, 200, 200]], dtype=np.uint8)
+    full = np.zeros((4, 4), dtype=np.uint8)
+    patch = np.full((2, 2), 2, dtype=np.uint8)
+    data = _anim_shell(4, 4, pal, [
+        _frame_block(full, 0, 0, gce=(1, None)),   # keep
+        _frame_block(patch, 0, 0, gce=(2, None)),  # restore rect to bg after
+        _frame_block(patch, 2, 2, gce=(3, None)),  # restore previous after
+        _frame_block(np.full((1, 1), 3, dtype=np.uint8), 0, 0),
+    ])
+    out = gif.decode_gif_frames(data)
+    assert out.shape == (4, 4, 4)
+    # frame 2: patch drawn over black
+    want2 = np.zeros((4, 4), dtype=np.float32)
+    want2[0:2, 0:2] = 100.0
+    assert np.array_equal(out[1], want2)
+    # frame 3: disposal 2 restored rect to bg WHITE, patch at (2,2)
+    want3 = np.zeros((4, 4), dtype=np.float32)
+    want3[0:2, 0:2] = 255.0
+    want3[2:4, 2:4] = 100.0
+    assert np.array_equal(out[2], want3)
+    # frame 4: disposal 3 restored the pre-frame-3 canvas, then 1px draw
+    want4 = np.zeros((4, 4), dtype=np.float32)
+    want4[0:2, 0:2] = 255.0
+    want4[0, 0] = 200.0
+    assert np.array_equal(out[3], want4)
+
+
+def test_animated_malformed_quarantines(rng):
+    good = gif.encode_gif_frames(rng.integers(0, 256, (3, 8, 8)).astype(np.float64))
+    for _ in range(100):
+        data = bytearray(good)
+        if rng.random() < 0.5:
+            data = data[: int(rng.integers(6, len(data)))]
+        else:
+            for _ in range(int(rng.integers(1, 5))):
+                data[int(rng.integers(0, len(data)))] = int(rng.integers(0, 256))
+        try:
+            gif.decode_gif_frames(bytes(data))
+        except CodecError:
+            pass
+
+
+def test_animated_frame_rect_outside_screen_rejected():
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    bad = _anim_shell(4, 4, pal, [
+        _frame_block(np.zeros((3, 3), dtype=np.uint8), 2, 2),  # 2+3 > 4
+    ])
+    with pytest.raises(CodecError):
+        gif.decode_gif_frames(bad)
+
+
 # --- quarantine contract ---------------------------------------------------
 
 

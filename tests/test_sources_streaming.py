@@ -426,12 +426,18 @@ def test_avi_mjpeg_video_frames_end_to_end(spark):
     # signature matches exactly
     other = np.kron(rng.uniform(0, 255, size=(24, 6, 8)),
                     np.ones((1, 8, 8))).round()
+    from mnemophonix_spark import gif
+
     rows = [
         ("avi_base", bytearray(avi)),
         ("avi_clone", bytearray(avi)),
         ("avi_other", bytearray(mm.encode_avi_mjpeg(other, quality=95))),
         ("fvid0", bytearray(mm.encode_fake_video(frames))),
         ("bad_avi", bytearray(b"RIFF\x10\x00\x00\x00AVI " + b"\x00" * 16)),
+        # REAL animated GIF: lossless container, so a gif clone of the
+        # FVID row's frames matches it signature-for-signature
+        ("gif_clone", bytearray(gif.encode_gif_frames(frames))),
+        ("bad_gif", bytearray(b"GIF89a\x08\x00\x08\x00\x80\x00\x00junk")),
     ]
     media = spark.createDataFrame(rows, "media_id string, bytes binary")
     sigs = mm.video_frame_signatures(media, every_nth=2)
@@ -450,3 +456,8 @@ def test_avi_mjpeg_video_frames_end_to_end(spark):
     }
     assert dec.get(("avi_base", "avi_clone")) is True
     assert not any("avi_other" in k for k in dec)
+    # cross-container match: animated GIF decodes the same uint8 frames
+    # as FVID, so the pair is accepted; corrupt GIF quarantines
+    assert [r["decode_error"] for r in by_media["bad_gif"]] != [None]
+    assert all(r["decode_error"] is None for r in by_media["gif_clone"])
+    assert dec.get(("fvid0", "gif_clone")) is True

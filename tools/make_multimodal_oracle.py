@@ -1,6 +1,7 @@
-"""Precompute the NumPy-oracle frame-signature digests for the fake
-video corpus as a parquet fixture (the DuckDB side of the driver gate
-for media_frame_sigs — same pattern as make_image_oracle.py).
+"""Precompute the NumPy-oracle frame-signature digests for the mixed-
+container video corpus (FVID stand-in + real MJPEG-AVI + real animated
+GIF) as a parquet fixture (the DuckDB side of the driver gate for
+media_frame_sigs — same pattern as make_image_oracle.py).
 
 Pure single-process NumPy: decode each payload, sample every 2nd frame,
 run the grid->signature chain per frame, digest the minhash exactly as
@@ -30,11 +31,15 @@ def main() -> None:
     from mnemophonix_spark.functions import kernels
     from mnemophonix_spark.operators import multimodal as mm
 
+    from mnemophonix_spark.codecs import CodecError
+
     out_rows = []
     for media_id, payload in mm.synthesize_media():
         try:
-            frames = mm.decode_fake_video(payload)
-        except mm.UnsupportedModality:
+            # container dispatch (FVID / MJPEG-AVI / animated GIF),
+            # same decode the Spark kernel runs
+            frames = mm.decode_video(payload)
+        except (mm.UnsupportedModality, CodecError):
             continue  # quarantined by the Spark side too
         for k in range(0, frames.shape[0], 2):
             grid = kernels.luma_to_grid(frames[k])
