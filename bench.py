@@ -37,6 +37,28 @@ def _bench_rows() -> int:
     return int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", _BENCH_N[tier]))
 
 
+def _wait_for_idle(max_wait_s: float = 300.0,
+                   threshold: float | None = None) -> float:
+    """Block until the 1-minute load average decays below half the
+    worker count (or the bounded wait expires); returns seconds waited.
+
+    Timing right after corpus generation (or any other 32-way job on
+    this VM) is the single biggest measurement hazard: identical
+    pipeline code measured 6.2 s vs 34.8 s in back-to-back laps purely
+    from residual load/steal while a 50+ load average decayed (round-4
+    A/B, BENCH/BASELINE.md).  The guard costs nothing when the box is
+    idle and makes the driver-run artifact reproducible.
+    """
+    if threshold is None:
+        threshold = max(4.0, int(CPUS) / 2)
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s:
+        if os.getloadavg()[0] < threshold:
+            break
+        time.sleep(10)
+    return round(time.time() - t0, 1)
+
+
 def _image_corpus_dir(n_rows: int) -> str:
     from mnemophonix_spark import corpusgen
 
@@ -73,13 +95,20 @@ def main() -> None:
     run_image_pipeline(spark, warm_dir)
     spark.catalog.clearCache()
 
+    # let residual load from corpus generation / prior jobs decay
+    # before any timed lap (see _wait_for_idle docstring)
+    waited_idle = _wait_for_idle()
+
     # timed laps, min taken: hypervisor steal on this VM spikes a
     # single lap by up to ~10x for tens of seconds at a time — and a
     # steal episode can outlast two consecutive laps (measured in round
     # 3: 30.3 s bench lap vs 11.1 s re-run minutes later for identical
     # code), so the headline image job takes three
+    # 5 laps (was 3): the round-4 A/B measured identical pipeline code
+    # spanning 6.2-34.8 s across laps at idle — min over five converges
+    # on true capability where min-of-three still caught a bad minute
     img_times = []
-    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_LAPS", "3"))):
+    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_LAPS", "5"))):
         t0 = time.time()
         n_clusters = run_image_pipeline(spark, corpus_dir)
         img_times.append(time.time() - t0)
@@ -99,10 +128,10 @@ def main() -> None:
     ]:
         qs[name](spark, SF_DIR).count()  # warm-up lap, untimed
         laps = []
-        # min-of-3, same as the image job: a steal episode outlasted two
+        # min-of-5, same as the image job: a steal episode outlasted two
         # consecutive laps in round 3 (doc_minhash_band_pairs printed
         # 6.33 s vs 2.81 s with byte-identical operator code)
-        for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_LAPS", "3"))):
+        for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_LAPS", "5"))):
             t0 = time.time()
             n = qs[name](spark, SF_DIR).count()
             laps.append(time.time() - t0)
@@ -125,6 +154,10 @@ def main() -> None:
         "image_rows": n_rows,
         "images_per_sec": images_per_sec,
         "cluster_rows": n_clusters,
+        # seconds spent waiting for residual system load to decay
+        # before the first timed lap (measurement honesty marker: >0
+        # means the box was busy when the bench started)
+        "waited_for_idle_s": waited_idle,
         # foreign-PNG decode path: the repo's own encoder emits filter 0
         # (covered by img_dedup_e2e), so the Sub/Up/Average/Paeth
         # unfilter tiers get their own single-core throughput probe
@@ -414,6 +447,9 @@ def run_scaling(corpus_dir: str, n_rows: int, repeats: int | None = None) -> dic
     times: dict[int, list[float]] = {lo: [], hi: []}
     for _ in range(repeats):
         for cores in (lo, hi):
+            # strict threshold: at local[2] even a decaying load of 10
+            # from the previous config's teardown distorts the ratio
+            _wait_for_idle(threshold=4.0)
             spark = get_spark(
                 app_name=f"mnemophonix-scaling-{cores}", master=f"local[{cores}]"
             )
