@@ -329,6 +329,35 @@ def ensure_corpus(cache_root: str, n_rows: int, seed: int = SEED) -> str:
 # parallel generation for bench-scale corpora
 # ---------------------------------------------------------------------------
 
+def _limit_blas_threads(n: int = 1) -> bool:
+    """Clamp the ALREADY-INITIALIZED OpenBLAS pool of this process.
+
+    dlopen of the bundled library returns the live handle, so
+    ``openblas_set_num_threads`` (64-suffixed in numpy's ILP64 build)
+    takes effect immediately — the only lever that works in a forked
+    child, where OMP/OPENBLAS env vars were read long ago.
+    """
+    import ctypes
+    import glob as _glob
+
+    import numpy as _np
+
+    pat = os.path.join(os.path.dirname(_np.__file__), "..", "numpy.libs",
+                       "libopenblas*")
+    for lib in _glob.glob(pat):
+        try:
+            h = ctypes.CDLL(lib)
+        except OSError:  # pragma: no cover
+            continue
+        for name in ("openblas_set_num_threads64_",
+                     "openblas_set_num_threads"):
+            fn = getattr(h, name, None)
+            if fn is not None:
+                fn(n)
+                return True
+    return False  # non-OpenBLAS numpy: nothing to clamp
+
+
 def _write_chunk(args: tuple) -> tuple[list, list]:
     """Worker: generate one deterministic chunk and write its parquet.
 
@@ -338,10 +367,12 @@ def _write_chunk(args: tuple) -> tuple[list, list]:
     Duplicate clusters are planted within chunks only.
     """
     out_dir, chunk_id, chunk_rows, seed = args
-    # pin BLAS threads: 32 workers each spawning an OpenBLAS pool melt
-    # the box (load ~200 observed); resize matmuls are tiny anyway
-    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
-        os.environ.setdefault(var, "1")
+    # pin BLAS threads: 32 forked workers each inheriting the parent's
+    # initialized 32-thread OpenBLAS pool drove the load average to
+    # ~1000 on the 200k build (32 x 32 spin-waiting threads) and
+    # starved the generators themselves.  Env vars are too late after
+    # fork, so clamp the live pool through the OpenBLAS C API.
+    _limit_blas_threads(1)
     rng_seed = np.random.default_rng([seed, chunk_id])
     c = generate(chunk_rows, seed=int(rng_seed.integers(0, 2**31)),
                  id_offset=chunk_id * chunk_rows)
@@ -361,7 +392,12 @@ def ensure_corpus_parallel(
     n_chunks: int = 32,
     workers: int | None = None,
 ) -> str:
-    """Parallel idempotent corpus build for throughput benchmarks."""
+    """Parallel idempotent corpus build for throughput benchmarks.
+
+    Fork pool (spawn cannot re-import ``<stdin>`` parents); each worker
+    clamps its inherited OpenBLAS pool to one thread via
+    ``_limit_blas_threads`` before generating.
+    """
     from concurrent.futures import ProcessPoolExecutor
 
     out_dir = os.path.join(cache_root, f"corpus_n{n_rows}_s{seed}_c{n_chunks}")
@@ -373,7 +409,9 @@ def ensure_corpus_parallel(
     jobs = [(out_dir, i, chunk_rows, seed) for i in range(n_chunks)]
     pairs: list = []
     clusters: list = []
-    with ProcessPoolExecutor(max_workers=workers or min(n_chunks, os.cpu_count())) as ex:
+    with ProcessPoolExecutor(
+        max_workers=workers or min(n_chunks, os.cpu_count())
+    ) as ex:
         for tp, tc in ex.map(_write_chunk, jobs):
             pairs.extend(tp)
             clusters.extend(tc)

@@ -77,7 +77,16 @@ def _area_weights(n_in: int, n_out: int) -> np.ndarray:
 
 
 def area_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """Resize one 2-D float array via exact area averaging -> float32."""
+    """Resize one 2-D float array via exact area averaging -> float32.
+
+    Deliberately ONE image per gemm: stacking same-shape images into a
+    single wider dgemm (measured round 4) changes BLAS kernel/blocking
+    choice with matrix size and shifts results by 1 ulp on some inputs
+    — which would make fingerprints depend on Arrow batch composition.
+    Bit-stability across any batching/partitioning is a correctness
+    property here (signature equality joins, fixture digests), so the
+    per-image formulation is canonical.
+    """
     wh = _area_weights(img.shape[0], out_h)
     ww = _area_weights(img.shape[1], out_w)
     return (wh @ img.astype(np.float64) @ ww.T).astype(np.float32)
