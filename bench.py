@@ -501,6 +501,18 @@ an N->4N executor comparison.  Interleaved repeats, min taken.
 - speedup {lo} -> {hi} cores: **{scaling[f'speedup_{lo}_to_{hi}']}x**
 - scaling efficiency (speedup / {hi // lo}): **{scaling['scaling_efficiency']}**
 
+Corpus: the round-4 default seven-real-format mix (png/bmp/pgm + FJPG
+stand-in + real jfif incl. color+progressive, real webp VP8L, real gif
+LZW), regenerated by `corpusgen.ensure_corpus_parallel` (workers clamp
+their inherited OpenBLAS pools — pre-fix the 200k build drove load to
+~1000 and starved itself).
+
+Measurement protocol: every timed lap waits for the 1-minute load
+average to decay below half the worker count first (identical pipeline
+code measured 6.2-34.8 s across laps while residual load from corpus
+generation decayed — round-4 interleaved A/B), configs interleave, and
+the min per config is kept (contention-robust estimator).
+
 Reference anecdotal numbers are in /root/repo/BASELINE.md (the
 reference publishes no benchmark harness; its fingerprint throughput is
 ~130x real-time on 8 threads for audio — not directly comparable to the

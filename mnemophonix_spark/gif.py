@@ -104,7 +104,8 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytearray:
     return out
 
 
-def _extract_codes(stream: bytes, min_code_size: int):
+def _extract_codes(stream: bytes, min_code_size: int,
+                   max_codes: int = 1 << 62):
     """Split the LZW bitstream into clear-delimited segments of codes.
 
     The code width between clears follows a deterministic schedule
@@ -117,6 +118,10 @@ def _extract_codes(stream: bytes, min_code_size: int):
     Returns a list of int32 arrays (one per clear segment, specials
     stripped).  Mirrors the per-code reader ``_lzw_decode`` exactly,
     including its leniency about streams that end without an EOI.
+    ``max_codes`` bounds total extraction: every code emits at least
+    one pixel, so the caller passes its pixel budget and a multi-MB
+    garbage stream cannot balloon into unbounded int arrays before
+    the output-level truncation kicks in.
     """
     if not 2 <= min_code_size <= 11:
         raise CodecError(f"bad LZW min code size {min_code_size}")
@@ -132,13 +137,15 @@ def _extract_codes(stream: bytes, min_code_size: int):
     bitpos = 0
     t = 0  # non-special codes so far in this segment
     w = min_code_size + 1
+    extracted = 0
     done = False
-    while not done:
+    while not done and extracted < max_codes:
         growth_t = (1 << w) - base + 1 if w < 12 else 1 << 62
         if t >= growth_t:
             w += 1
             continue
-        k = min(growth_t - t, (total_bits - bitpos) // w)
+        k = min(growth_t - t, (total_bits - bitpos) // w,
+                max_codes - extracted)
         if k <= 0:
             break  # underrun without EOI: accept what we have
         pos = bitpos + w * _arange(k)
@@ -152,6 +159,7 @@ def _extract_codes(stream: bytes, min_code_size: int):
             if s:
                 current.append(codes[:s])
             t += s
+            extracted += s
             bitpos += w * (s + 1)
             if int(codes[s]) == eoi:
                 done = True
@@ -164,6 +172,7 @@ def _extract_codes(stream: bytes, min_code_size: int):
         else:
             current.append(codes)
             t += k
+            extracted += k
             bitpos += w * k
             if t == growth_t:
                 w += 1
@@ -206,7 +215,9 @@ def _lzw_decode_fast(stream: bytes, min_code_size: int, n_pixels: int) -> bytes:
     cap = 4096 - base  # entry slots per segment
     out_parts: list[np.ndarray] = []
     produced = 0
-    for codes in _extract_codes(stream, min_code_size):
+    # each non-special code emits >=1 pixel, so n_pixels (+1 slack for
+    # the code that crosses the boundary) bounds useful extraction
+    for codes in _extract_codes(stream, min_code_size, n_pixels + 1):
         m = codes.size
         if not m:
             continue

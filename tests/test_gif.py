@@ -105,6 +105,20 @@ def test_lzw_fast_small_code_sizes():
         assert slow[:500] == fast[:500] == pixels
 
 
+def test_lzw_extraction_bounded_by_pixel_budget(rng):
+    # a multi-MB garbage stream must not balloon into unbounded code
+    # arrays when the declared geometry is tiny: extraction stops at
+    # the pixel budget (+1), not at the end of the stream
+    garbage = rng.integers(0, 256, 2_000_000).astype(np.uint8).tobytes()
+    segs = gif._extract_codes(garbage, 8, 65)
+    assert sum(s.size for s in segs) <= 65
+    # and the full decoder under the same budget stays small/quick
+    try:
+        gif._lzw_decode_fast(garbage, 8, 64)
+    except CodecError:
+        pass  # garbage may fail validation; it must not blow memory
+
+
 def test_lzw_accepts_missing_eoi(rng):
     g = rng.integers(0, 256, (32, 32)).astype(np.float64)
     stream, mcs, w, h = _raw_stream(gif.encode_gif(g))
