@@ -566,6 +566,18 @@ def _decode_gif(data: bytes) -> np.ndarray:
     return gif.decode_gif(data)
 
 
+def _decode_tiff(data: bytes) -> np.ndarray:
+    from mnemophonix_spark import tiff
+
+    return tiff.decode_tiff(data)
+
+
+def _encode_tiff(gray: np.ndarray) -> bytes:
+    from mnemophonix_spark import tiff
+
+    return tiff.encode_tiff(gray)
+
+
 def _encode_gif(gray: np.ndarray) -> bytes:
     from mnemophonix_spark import gif
 
@@ -592,6 +604,8 @@ _DECODERS = {
     "webp": _decode_webp,
     # REAL GIF87a/89a (LZW, mnemophonix_spark.gif)
     "gif": _decode_gif,
+    # REAL TIFF 6.0 grayscale subset (mnemophonix_spark.tiff)
+    "tiff": _decode_tiff,
 }
 _ENCODERS = {
     "bmp": encode_bmp,
@@ -601,6 +615,7 @@ _ENCODERS = {
     "jfif": _encode_jfif,
     "webp": _encode_webp,
     "gif": _encode_gif,
+    "tiff": _encode_tiff,
 }
 
 
@@ -655,6 +670,9 @@ def decode_batch(
                 # (segment gathers + pointer doubling, gif.py); no
                 # cross-image amortization left worth grouping for
                 results[i] = _decode_gif(data)
+                continue
+            if fmt == "tiff":
+                results[i] = _decode_tiff(data)
                 continue
             if fmt == "jfif":
                 jfif_idx.append(i)

@@ -480,10 +480,11 @@ def test_real_format_corpus_end_to_end(spark, tmp_path):
     )
 
     out = str(tmp_path / "realfmt")
-    c = corpusgen.write_corpus(out, 120, seed=11,
-                               fmt_choices=["jfif", "pgm", "png", "webp", "gif"])
+    c = corpusgen.write_corpus(
+        out, 120, seed=11,
+        fmt_choices=["jfif", "pgm", "png", "webp", "gif", "tiff"])
     fmts = {r["fmt"] for r in c.rows}
-    assert fmts == {"jfif", "pgm", "png", "webp", "gif"}
+    assert fmts == {"jfif", "pgm", "png", "webp", "gif", "tiff"}
 
     corpus = spark.read.parquet(f"{out}/corpus")
     sigs = fingerprint(corpus).persist()
