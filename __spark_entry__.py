@@ -205,6 +205,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup_text.minhash_signatures(_read(spark, sf, "documents"))
 
     def q_doc_band_pairs(spark, sf):
+        # explode formulation stays the engine default: measured FASTER
+        # than the packed Arrow twin at sf0.1 (5.9 vs 8.2 s — 16 salted
+        # md5s per shingle are codegen'd JVM-side and map-side combine
+        # collapses the shuffle, unlike simhash's 64-rows-per-word
+        # amplification).  The packed twin + parity test + bench probe
+        # record that decision (minhash_paths in bench JSON).
         return dedup_text.minhash_band_pairs(_read(spark, sf, "documents"))
 
     def q_doc_jaccard(spark, sf):

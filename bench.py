@@ -142,6 +142,7 @@ def main() -> None:
     webp_paths = _bench_webp_decode_paths()
     lsh_paths = _bench_lsh_bucket_paths(spark)
     simhash_paths = _bench_simhash_paths(spark)
+    minhash_paths = _bench_minhash_paths(spark)
     audio_tp = _bench_audio_chain(spark)
 
     result = {
@@ -177,6 +178,9 @@ def main() -> None:
         # explode stays as the SQL-oracle formulation; the packed path
         # is the engine default — this records the gap that justifies it)
         "simhash_paths": simhash_paths,
+        # explode vs packed minhash band table (the explode IS the
+        # engine default — this records the measurement behind that)
+        "minhash_paths": minhash_paths,
         # native audio chain throughput (2.5 s entries through decode ->
         # resample -> FFT -> log bins -> Haar -> MinHash)
         "audio_chain": audio_tp,
@@ -369,6 +373,33 @@ def _bench_simhash_paths(spark) -> dict:
     for label, fn in (
         ("explode_sec", dt.simhash64),
         ("packed_sec", dt.simhash64_fast),
+    ):
+        fn(docs).count()  # warm-up
+        laps = []
+        for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_LAPS", "3"))):
+            t0 = time.time()
+            fn(docs).count()
+            laps.append(time.time() - t0)
+        out[label] = round(min(laps), 3)
+    out["speedup"] = round(out["explode_sec"] / out["packed_sec"], 2)
+    docs.unpersist()
+    return out
+
+
+def _bench_minhash_paths(spark) -> dict:
+    """id x shingle x 16-perm explode vs packed Arrow minhash band
+    table on the documents table.  Records why the EXPLODE stays the
+    engine default (measured faster at sf0.1: JVM-codegen'd md5s +
+    map-side combine beat the Arrow transfer + CPython md5 loop at
+    n_perm=16); exact parity pinned by test_minhash_packed_parity."""
+    from mnemophonix_spark.operators import dedup_text as dt
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").persist()
+    n_docs = docs.count()
+    out: dict = {"docs": n_docs}
+    for label, fn in (
+        ("explode_sec", dt.minhash_band_pairs),
+        ("packed_sec", dt.minhash_band_pairs_fast),
     ):
         fn(docs).count()  # warm-up
         laps = []

@@ -161,6 +161,131 @@ def minhash_band_pairs(df: DataFrame, id_col: str = DOC_ID, text_col: str = TEXT
         .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list(
             F.concat_ws(":", "perm_id", "minhash"))))).alias("band_hash"))
     )
+    return _band_pair_join(bands, min_shared_bands)
+
+
+def minhash_bands_packed(df: DataFrame, id_col: str = DOC_ID,
+                         text_col: str = TEXT, k: int = 3, n_perm: int = 16,
+                         rows_per_band: int = 2) -> DataFrame:
+    """Packed vectorized twin of the explode-minhash band table: same
+    (id, band_id, band_hash) rows, computed in ONE Arrow pass per doc
+    instead of the id x shingle x perm explode (see
+    ``minhash_band_pairs_fast`` for the measured default decision).
+
+    Shingle ARRAYS are built JVM-side — identical split/lower/slice semantics
+    as ``shingles`` (the simhash round-3 tokenization-parity lesson) —
+    and the UDF hashes the batch's unique (doc-distinct) shingle set
+    once per permutation, takes exact 128-bit lexicographic minima via
+    one lexsort per permutation (full-digest comparison: hex-string
+    order == big-endian digest order), and emits the band md5s
+    directly.  Parity with ``minhash_band_pairs``'s band table is
+    pinned by tests/test_dedup_text.py::test_minhash_packed_parity.
+    """
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def bands_udf(shingle_arrays):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        md5 = hashlib.md5
+        ndocs = len(shingle_arrays)
+        if not ndocs:
+            return pd.Series([], dtype="object")
+        docs = []
+        for arr in shingle_arrays:
+            if arr is None or len(arr) == 0:
+                docs.append(np.asarray([], dtype=object))
+            else:
+                # per-doc distinct, matching shingles()'s .distinct()
+                docs.append(np.unique(np.asarray(arr, dtype=object)))
+        lens = np.array([d.size for d in docs], dtype=np.int64)
+        flat = np.concatenate(docs) if ndocs else np.asarray([], dtype=object)
+        out = [None] * ndocs
+        if flat.size == 0:
+            return pd.Series(out, dtype="object")
+        uniq, inv = np.unique(flat, return_inverse=True)
+        doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), lens)
+        has = lens > 0
+        starts = np.nonzero(
+            np.diff(np.concatenate([[-1], doc_of])) > 0
+        )[0]  # first flat index of each non-empty doc, in doc order
+        n_bands = n_perm // rows_per_band
+        # per-perm minima as full hex strings, [n_perm][n_nonempty_docs]
+        mins_hex: list[list[str]] = []
+        for p in range(n_perm):
+            salt = (str(p) + ":").encode("utf-8")
+            digests = b"".join(
+                md5(salt + s.encode("utf-8")).digest() for s in uniq
+            )
+            dig = np.frombuffer(digests, dtype=np.uint8).reshape(uniq.size, 16)
+            hi = dig[:, :8].copy().view(">u8").ravel()[inv]
+            lo = dig[:, 8:].copy().view(">u8").ravel()[inv]
+            # sort by (doc, hi, lo): first row per doc = exact 128-bit min
+            order = np.lexsort((lo, hi, doc_of))
+            min_rows = order[starts]
+            row_digests = dig[inv[min_rows]]
+            mins_hex.append([r.tobytes().hex() for r in row_digests])
+        band_lists: dict[int, list[str]] = {}
+        for di, flat_doc in enumerate(np.nonzero(has)[0]):
+            bands = []
+            for b in range(n_bands):
+                parts = [
+                    f"{b * rows_per_band + r}:{mins_hex[b * rows_per_band + r][di]}"
+                    for r in range(rows_per_band)
+                ]
+                # JVM array_sort on 'perm:hex' strings: within a band
+                # the perm ids share digit count, so string order ==
+                # numeric order and sorted() reproduces it
+                bands.append(md5("|".join(sorted(parts)).encode()).hexdigest())
+            out[int(flat_doc)] = bands
+        return pd.Series(out, dtype="object")
+
+    w = F.split(F.lower(F.col(text_col)), r"\s+")
+    n_sh = F.size(w) - (k - 1)
+    sh_arr = F.when(
+        n_sh >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    packed = (
+        _fanout_rebalance(df)
+        .select(F.col(id_col).alias("id"), bands_udf(sh_arr).alias("bands"))
+        .filter(F.col("bands").isNotNull())
+    )
+    return packed.select(
+        "id", F.posexplode("bands").alias("band_id", "band_hash")
+    )
+
+
+def minhash_band_pairs_fast(df: DataFrame, id_col: str = DOC_ID,
+                            text_col: str = TEXT, k: int = 3,
+                            n_perm: int = 16, rows_per_band: int = 2,
+                            min_shared_bands: int = 1) -> DataFrame:
+    """Banded-minhash pairs via the packed band table; same output as
+    ``minhash_band_pairs``, same salted pair join.
+
+    NOT the engine default: measured 0.72x the explode at sf0.1
+    (bench `minhash_paths`) — n_perm=16 salted md5s are codegen'd
+    JVM-side and the partial-agg min combines map-side, so the explode
+    has none of the amplification that made the packed simhash 5-8x.
+    Kept as the measured alternative (and the shape to reach for if a
+    deployment's Python workers outpace its JVM md5 throughput, e.g.
+    larger n_perm with heavy cross-doc shingle reuse)."""
+    bands = minhash_bands_packed(df, id_col, text_col, k, n_perm,
+                                 rows_per_band)
+    return _band_pair_join(bands, min_shared_bands)
+
+
+def _band_pair_join(bands: DataFrame, min_shared_bands: int) -> DataFrame:
+    """(id, band_id, band_hash) -> (id_a, id_b, n_shared_bands).
+
+    Shared tail of the explode and packed minhash paths.
+    """
     # hot-band salting (boilerplate captions / template docs put many
     # ids on one band key; the raw self-join would square that).  Same
     # recipe as the image side (lsh.candidate_pairs): salt into

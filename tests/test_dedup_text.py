@@ -141,6 +141,62 @@ def test_simhash64_fast_parity(spark):
     assert fast_e == slow_e
 
 
+def test_minhash_packed_parity(spark):
+    """The packed one-pass minhash band table (engine default for
+    doc_minhash_band_pairs) must be row-identical to the explode /
+    SQL-oracle formulation: full 128-bit digest minima, band md5s, and
+    the resulting pair table."""
+    from mnemophonix_spark.operators import dedup_text as dt
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def _key(rows):
+        return sorted((r["id"], r["band_id"], r["band_hash"]) for r in rows)
+
+    sig = dt.minhash_signatures(docs)
+    from pyspark.sql import functions as F
+    slow_bands = (
+        sig.withColumn("band_id", (F.col("perm_id") / 2).cast("int"))
+        .groupBy("id", "band_id")
+        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list(
+            F.concat_ws(":", "perm_id", "minhash"))))).alias("band_hash"))
+    )
+    fast_bands = dt.minhash_bands_packed(docs)
+    assert _key(fast_bands.collect()) == _key(slow_bands.collect())
+    assert fast_bands.count() > 0
+
+    slow_pairs = sorted(
+        (r["id_a"], r["id_b"], r["n_shared_bands"])
+        for r in dt.minhash_band_pairs(docs).collect()
+    )
+    fast_pairs = sorted(
+        (r["id_a"], r["id_b"], r["n_shared_bands"])
+        for r in dt.minhash_band_pairs_fast(docs).collect()
+    )
+    assert fast_pairs == slow_pairs and len(fast_pairs) > 0
+
+    edge = spark.createDataFrame(
+        [
+            (1, "  leading whitespace"),
+            (2, ""),                       # empty doc: no shingles
+            (3, "two words"),              # below shingle size k=3
+            (4, "exactly three word tokens here"),
+            (5, "exactly three word tokens here"),  # exact dup of 4
+            (6, "nbsp joined and linesep tokens trailing  "),
+            (7, "İstanbul STRASSE straße three word shingle parity"),
+        ],
+        "doc_id long, text string",
+    )
+    sig_e = dt.minhash_signatures(edge)
+    slow_e = (
+        sig_e.withColumn("band_id", (F.col("perm_id") / 2).cast("int"))
+        .groupBy("id", "band_id")
+        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list(
+            F.concat_ws(":", "perm_id", "minhash"))))).alias("band_hash"))
+    )
+    assert _key(dt.minhash_bands_packed(edge).collect()) == _key(slow_e.collect())
+
+
 def test_simhash_engine_dispatch(spark, monkeypatch):
     """simhash_pairs must follow the config flag: packed by default,
     explode when SPARK_GRAFT_SIMHASH_IMPL=explode — identical results."""
