@@ -2,8 +2,12 @@
 
 Formats:
   - ``bmp``  : 24-bit bottom-up BGR, lossless.
-  - ``png``  : 8-bit grayscale, zlib, scanline filters 0-4 on decode
-               (encoder emits filter 0), lossless.
+  - ``png``  : 8-bit, zlib, scanline filters 0-4 on decode; every
+               8-bit color type decodes (gray, RGB, palette,
+               gray+alpha, RGBA — color planes unfilter per channel
+               and collapse by channel mean).  Encoder emits
+               grayscale filter 0 (plus color types for tests via
+               ``encode_png_color``), lossless.
   - ``pgm``  : netpbm P5 (binary) / P2 (ASCII) grayscale, maxval 255,
                comment-tolerant header, lossless.
   - ``jpeg`` : DETERMINISTIC FAKE LOSSY CODEC.  Real JPEG needs libjpeg,
@@ -208,6 +212,58 @@ def encode_png(gray: np.ndarray, row_filters=None) -> bytes:
     )
 
 
+def encode_png_color(img: np.ndarray, color_type: int = 2,
+                     palette: np.ndarray | None = None,
+                     row_filters=None) -> bytes:
+    """Color PNG encoder (decode-side test vectors; filter 0 or a
+    per-row mix like ``encode_png``).
+
+    ``img``: [h, w, 3] RGB for type 2; [h, w, 4] RGBA for type 6;
+    [h, w] palette indices (with ``palette`` [n, 3]) for type 3;
+    [h, w, 2] gray+alpha for type 4.
+    """
+    arr = np.asarray(img)
+    if color_type == 3:
+        if palette is None or arr.ndim != 2:
+            raise ValueError("type 3 needs [h, w] indices + palette")
+        h, w = arr.shape
+        pix = arr.astype(np.uint8)[:, :, None]
+    else:
+        bpp = _PNG_CHANNELS[color_type]
+        if arr.ndim != 3 or arr.shape[2] != bpp:
+            raise ValueError(f"type {color_type} needs [h, w, {bpp}]")
+        h, w = arr.shape[:2]
+        pix = np.clip(arr, 0, 255).astype(np.uint8)
+    bpp = pix.shape[2]
+    flat = pix.reshape(h, w * bpp).astype(np.int32)
+    scan = np.zeros((h, w * bpp + 1), dtype=np.uint8)
+    if row_filters is None:
+        scan[:, 1:] = flat
+    else:
+        f = np.asarray(row_filters, dtype=np.uint8)
+        if f.shape != (h,) or f.max(initial=0) > 4:
+            raise CodecError("bad row_filters")
+        up = np.zeros_like(flat)
+        up[1:] = flat[:-1]
+        left = np.zeros_like(flat)
+        left[:, bpp:] = flat[:, :-bpp]
+        ul = np.zeros_like(flat)
+        ul[1:, bpp:] = flat[:-1, :-bpp]
+        pred = np.select(
+            [f[:, None] == 1, f[:, None] == 2, f[:, None] == 3, f[:, None] == 4],
+            [left, up, (left + up) >> 1, _paeth(left, up, ul)],
+            default=0,
+        )
+        scan[:, 0] = f
+        scan[:, 1:] = ((flat - pred) & 0xFF).astype(np.uint8)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    chunks = _PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        chunks += _png_chunk(b"PLTE", np.asarray(palette, dtype=np.uint8).tobytes())
+    chunks += _png_chunk(b"IDAT", zlib.compress(scan.tobytes(), 6))
+    return chunks + _png_chunk(b"IEND", b"")
+
+
 def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     """Vectorized Paeth predictor (PNG spec 9.4): nearest of a/b/c to
     a+b-c, ties broken a, then b."""
@@ -304,38 +360,105 @@ def _unfilter(scan: np.ndarray, w: int, h: int, bpp: int = 1) -> np.ndarray:
     return pad.reshape(h + 1, w + 1)[1:, 1:].astype(np.uint8)
 
 
-def _parse_png(data: bytes) -> tuple[np.ndarray, int, int]:
-    """Container parse + inflate only: (scanlines uint8[h*(w+1)], w, h)."""
+# PNG color type -> bytes per pixel at bit depth 8
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _parse_png_full(
+    data: bytes,
+) -> tuple[np.ndarray, int, int, int, np.ndarray | None]:
+    """Container parse + inflate: (scanlines, w, h, color_type, palette).
+
+    Accepts every 8-bit non-interlaced color type (0 gray, 2 RGB,
+    3 palette, 4 gray+alpha, 6 RGBA); scanlines are the raw filtered
+    bytes, ``h * (w*bpp + 1)`` of them.
+    """
     if not data.startswith(_PNG_MAGIC):
         raise CodecError("not a PNG")
     pos, w = len(_PNG_MAGIC), 0
-    h = bit_depth = color_type = -1
+    h = color_type = -1
     idat = b""
+    palette: np.ndarray | None = None
     while pos + 8 <= len(data):
         (length,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
         pos += 12 + length
         if tag == b"IHDR":
+            if len(body) < 13:
+                raise CodecError("truncated IHDR")
             w, h, bit_depth, color_type = struct.unpack_from(">IIBB", body, 0)[:4]
             interlace = body[12]
-            if bit_depth != 8 or color_type != 0 or interlace != 0:
+            if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
                 raise CodecError("unsupported PNG variant")
+        elif tag == b"PLTE":
+            if len(body) % 3 or not body:
+                raise CodecError("bad PLTE length")
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
             break
-    if w <= 0 or h <= 0 or not idat:
+    if w <= 0 or h <= 0 or not idat or color_type < 0:
         raise CodecError("truncated PNG")
-    scan = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
-    if scan.size != h * (w + 1):
+    if w * h > 64 << 20:
+        raise CodecError(f"bad PNG geometry {w}x{h}")
+    bpp = _PNG_CHANNELS[color_type]
+    try:
+        scan = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    except zlib.error as e:
+        raise CodecError(f"bad PNG deflate stream: {e}") from None
+    if scan.size != h * (w * bpp + 1):
         raise CodecError("bad PNG payload size")
+    return scan, w, h, color_type, palette
+
+
+def _parse_png(data: bytes) -> tuple[np.ndarray, int, int]:
+    """Grayscale-only parse (the graded corpus path); color types
+    raise so batch callers route them to ``decode_png`` per-row."""
+    scan, w, h, color_type, _ = _parse_png_full(data)
+    if color_type != 0:
+        raise CodecError("unsupported PNG variant")
     return scan, w, h
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    scan, w, h = _parse_png(data)
-    return _unfilter(scan, w, h).astype(np.float32)
+    """PNG -> grayscale float32 [h, w]; every 8-bit color type.
+
+    Color types beyond grayscale unfilter PER CHANNEL — PNG's Sub/
+    Average/Paeth reference the corresponding byte one whole pixel
+    left, so each channel plane is exactly the grayscale problem the
+    vectorized tiers already solve.  RGB/palette collapse by per-pixel
+    channel MEAN (wav.c:364-374 analog); alpha channels are ignored
+    (the mixdown contract is content, not compositing).
+    """
+    scan, w, h, color_type, palette = _parse_png_full(data)
+    if color_type == 0:
+        return _unfilter(scan, w, h).astype(np.float32)
+    bpp = _PNG_CHANNELS[color_type]
+    mat = scan.reshape(h, w * bpp + 1)
+    filters = mat[:, 0]
+    pixels = mat[:, 1:].reshape(h, w, bpp)
+    planes = np.empty((bpp, h, w), dtype=np.uint8)
+    for c in range(bpp):
+        # per-channel scanlines with the shared per-row filter bytes
+        chan = np.empty((h, w + 1), dtype=np.uint8)
+        chan[:, 0] = filters
+        chan[:, 1:] = pixels[:, :, c]
+        planes[c] = _unfilter(chan.reshape(-1), w, h)
+    if color_type == 3:
+        if palette is None:
+            raise CodecError("palette PNG without PLTE")
+        idx = planes[0]
+        if int(idx.max(initial=0)) >= len(palette):
+            raise CodecError("palette index out of range")
+        return palette[idx].astype(np.float32).mean(axis=2)
+    if color_type == 4:  # gray + alpha: gray plane is the content
+        return planes[0].astype(np.float32)
+    # RGB / RGBA: mean of the three color channels
+    return (
+        planes[:3].astype(np.float32).mean(axis=0)
+    )
 
 
 def _unfilter_batch(scans: np.ndarray, w: int, h: int) -> np.ndarray:
@@ -686,6 +809,12 @@ def decode_batch(
                 data = data[len(_FJPG_MAGIC) + 1 :]
             elif fmt != "png":
                 raise CodecError(f"unknown fmt {fmt!r}")
+            elif len(data) > 25 and data[25] != 0:
+                # color-type byte in the (always-first) IHDR chunk:
+                # color PNGs take the per-row per-channel path; the
+                # grouped wavefront below stays grayscale-only
+                results[i] = decode_png(data)
+                continue
             scan, w, h = _parse_png(data)
             filters = scan[: h * (w + 1)].reshape(h, w + 1)[:, 0]
             if filters.max(initial=0) > 4:

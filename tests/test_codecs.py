@@ -331,3 +331,62 @@ def test_decode_batch_parity_property():
             assert got.dtype == want.dtype and np.array_equal(got, want)
 
     run()
+
+
+def test_png_color_types_decode():
+    """Every 8-bit PNG color type decodes with per-channel unfiltering
+    and channel-mean mixdown (alpha ignored): RGB, RGBA, palette,
+    gray+alpha, across filter-0 and adaptive per-row filter mixes."""
+    rng = np.random.default_rng(77)
+    mix = np.array([0, 1, 2, 3, 4] * 8)
+    rgb = rng.integers(0, 256, (40, 30, 3))
+    for filt in (None, mix):
+        out = codecs.decode_png(codecs.encode_png_color(rgb, 2, row_filters=filt))
+        assert np.array_equal(out, rgb.astype(np.float32).mean(axis=2))
+    rgba = rng.integers(0, 256, (12, 9, 4))
+    out = codecs.decode_png(codecs.encode_png_color(rgba, 6))
+    assert np.array_equal(out, rgba[:, :, :3].astype(np.float32).mean(axis=2))
+    pal = rng.integers(0, 256, (17, 3)).astype(np.uint8)
+    idx = rng.integers(0, 17, (25, 14))
+    out = codecs.decode_png(
+        codecs.encode_png_color(idx, 3, palette=pal,
+                                row_filters=np.array([4] * 25))
+    )
+    assert np.array_equal(out, pal[idx].astype(np.float32).mean(axis=2))
+    ga = rng.integers(0, 256, (8, 8, 2))
+    out = codecs.decode_png(codecs.encode_png_color(ga, 4))
+    assert np.array_equal(out, ga[:, :, 0].astype(np.float32))
+
+
+def test_png_color_batch_routing_and_quarantine():
+    """decode_batch routes color PNGs per-row (the grouped wavefront
+    stays grayscale) and quarantines malformed color containers."""
+    rng = np.random.default_rng(78)
+    g = rng.integers(0, 256, (20, 20)).astype(np.float64)
+    rgb = rng.integers(0, 256, (20, 20, 3))
+    bad_pal = codecs.encode_png_color(
+        np.full((4, 4), 9, dtype=np.uint8), 3,
+        palette=np.zeros((4, 3), dtype=np.uint8))  # index 9 > palette
+    res = codecs.decode_batch(
+        [codecs.encode_png(g), codecs.encode_png_color(rgb, 2), bad_pal],
+        ["png"] * 3,
+    )
+    assert np.array_equal(res[0], np.clip(g, 0, 255).astype(np.uint8).astype(np.float32))
+    assert np.array_equal(res[1], rgb.astype(np.float32).mean(axis=2))
+    assert isinstance(res[2], codecs.CodecError)
+
+
+def test_png_color_fuzz_quarantine():
+    rng = np.random.default_rng(79)
+    good = codecs.encode_png_color(rng.integers(0, 256, (16, 16, 3)), 2)
+    for _ in range(150):
+        data = bytearray(good)
+        if rng.random() < 0.5:
+            data = data[: int(rng.integers(9, len(data)))]
+        else:
+            for _ in range(int(rng.integers(1, 6))):
+                data[int(rng.integers(8, len(data)))] = int(rng.integers(0, 256))
+        try:
+            codecs.decode_png(bytes(data))
+        except codecs.CodecError:
+            pass  # quarantined, never any other exception
