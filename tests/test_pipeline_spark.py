@@ -518,3 +518,56 @@ def test_real_format_corpus_end_to_end(spark, tmp_path):
     )
     assert clusters.count() == 120
     sigs.unpersist()
+
+
+def test_color_png_jfif_cross_format_dedup(spark):
+    """A COLOR PNG copy of a COLOR baseline-JPEG decodes through the
+    per-channel unfilter + channel-mean mixdown and the pair verifies
+    cross-format at PSNR >= 40 in the real chain — the color analog of
+    the exact-re-encode duplicate kind."""
+    from tests.test_jfif import _natural_color
+
+    from mnemophonix_spark import codecs, corpusgen, jfif
+    from mnemophonix_spark.operators import lsh
+    from mnemophonix_spark.operators import verify as ver
+    from mnemophonix_spark.operators.fingerprint import (
+        fingerprint,
+        valid_signatures,
+    )
+
+    rows = []
+    planted = []
+    for seed in range(6):
+        rgb = _natural_color(seed)
+        a_id, b_id = f"cpx{seed:03d}a", f"cpx{seed:03d}b"
+        rows.append((a_id, codecs.encode_png_color(rgb, 2), "png"))
+        rows.append((b_id, jfif.encode_jfif(rgb, 95), "jfif"))
+        planted.append((a_id, b_id))
+    gray = {
+        rid: codecs.decode(bytes(data), fmt) for rid, data, fmt in rows
+    }
+    corpus = spark.createDataFrame(
+        [
+            (rid, bytearray(data), 128, 96, fmt, "",
+             corpusgen._phash64(gray[rid]))
+            for rid, data, fmt in rows
+        ],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    sigs = fingerprint(corpus).persist()
+    assert sigs.filter("decode_error is not null").count() == 0
+    valid = valid_signatures(sigs)
+    verified = ver.verify_pairs(
+        lsh.score_pairs(lsh.candidate_pairs(lsh.explode_bands(valid)), valid),
+        corpus,
+    )
+    found = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    gated = {
+        r["image_id"] for r in sigs.filter("is_silence or degenerate").collect()
+    }
+    scoreable = [p for p in planted if p[0] not in gated and p[1] not in gated]
+    assert scoreable and all(p in found for p in scoreable), (
+        f"missing cross-format color pairs: {set(scoreable) - found}"
+    )
+    sigs.unpersist()
