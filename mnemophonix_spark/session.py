@@ -43,7 +43,21 @@ def get_spark(
         # image bytes make wide rows; keep broadcast threshold for the
         # small dimension tables but never broadcast payload columns
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # Throughput collector over the G1 default: the scan's byte[]
+        # payload churn (tens of KB per row, ~1 GB live per 20k-row
+        # lap) drove G1 young-evacuation pauses to 400-830 ms under
+        # full 32-way CPU subscription — 8-19 s of pause per lap and
+        # 2-5x lap-to-lap variance from pause placement.  ParallelGC
+        # on the same workload: 6.6 s total pause over six laps and
+        # laps of 4.3-6.6 s where G1 gave 10-22 s (round-4 GC-log
+        # experiment).  Batch pipelines don't care about pause
+        # latency, only throughput — same flag you'd set per-executor
+        # on a real cluster.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
