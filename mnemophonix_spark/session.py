@@ -58,6 +58,12 @@ def get_spark(
             "spark.driver.extraJavaOptions",
             os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
         )
+        # same collector on real executors (no-op in local mode, where
+        # the driver JVM runs every task)
+        .config(
+            "spark.executor.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_EXECUTOR_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
