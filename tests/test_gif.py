@@ -436,3 +436,18 @@ def test_decode_batch_mixed_with_gif(rng):
     assert np.array_equal(res[1], _expect(imgs[1]))
     assert isinstance(res[2], CodecError)
     assert np.array_equal(res[3], _expect(imgs[3]))
+
+
+def test_gif_roundtrip_property():
+    """Hypothesis: any uint8 grayscale array roundtrips exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    @settings(max_examples=30, deadline=None)
+    @given(arrays(np.uint8, st.tuples(st.integers(1, 40), st.integers(1, 40))))
+    def prop(g):
+        out = gif.decode_gif(gif.encode_gif(g.astype(np.float64)))
+        assert np.array_equal(out, g.astype(np.float32))
+
+    prop()

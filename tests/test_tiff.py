@@ -151,3 +151,18 @@ def test_codecs_dispatch(rng):
     g = rng.integers(0, 256, (21, 34)).astype(np.float64)
     assert np.array_equal(codecs.decode(codecs.encode(g, "tiff"), "tiff"),
                           _expect(g))
+
+
+def test_tiff_roundtrip_property():
+    """Hypothesis: any uint8 grayscale array roundtrips exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    @settings(max_examples=30, deadline=None)
+    @given(arrays(np.uint8, st.tuples(st.integers(1, 40), st.integers(1, 40))))
+    def prop(g):
+        out = tiff.decode_tiff(tiff.encode_tiff(g.astype(np.float64)))
+        assert np.array_equal(out, g.astype(np.float32))
+
+    prop()
