@@ -1475,9 +1475,12 @@ def _all_oracle_sql() -> dict[str, str]:
               FROM projs GROUP BY id, tbl
             ),
             cand AS (
+              -- multiprobe H<=1 (similarity.lsh_ann_topk probe_hamming=1):
+              -- the query also probes every bucket one bit-flip away
               SELECT DISTINCT q.id AS query_id, n.id AS neighbor_id
               FROM buckets q JOIN buckets n
-                ON q.tbl = n.tbl AND q.bucket = n.bucket
+                ON q.tbl = n.tbl
+               AND bit_count(xor(q.bucket, n.bucket)) <= 1
               WHERE q.id < 8 AND n.id != q.id
             ),
             elems AS (

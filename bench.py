@@ -99,47 +99,53 @@ def main() -> None:
     # before any timed lap (see _wait_for_idle docstring)
     waited_idle = _wait_for_idle()
 
-    # timed laps, min taken: hypervisor steal on this VM spikes a
-    # single lap by up to ~10x for tens of seconds at a time — and a
-    # steal episode can outlast two consecutive laps (measured in round
-    # 3: 30.3 s bench lap vs 11.1 s re-run minutes later for identical
-    # code), so the headline image job takes three
-    # 5 laps (was 3): the round-4 A/B measured identical pipeline code
-    # spanning 6.2-34.8 s across laps at idle — min over five converges
-    # on true capability where min-of-three still caught a bad minute
-    img_times = []
-    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_LAPS", "5"))):
-        t0 = time.time()
-        n_clusters = run_image_pipeline(spark, corpus_dir)
-        img_times.append(time.time() - t0)
-        # drop persisted stages so each lap (and the doc queries below)
-        # runs against a cold cache, not under storage-memory pressure
-        spark.catalog.clearCache()
-    timings["img_dedup_e2e"] = round(min(img_times), 3)
-    images_per_sec = round(n_rows / timings["img_dedup_e2e"], 1)
-
+    # Timed laps, min taken: hypervisor steal on this VM spikes a
+    # single lap by up to ~10x for tens of seconds at a time, and a
+    # steal episode can outlast several consecutive laps (round 3:
+    # 30.3 s vs 11.1 s re-run for identical code; round 4: 6.2-34.8 s
+    # spread at idle).  Round-4 verdict item 2: the artifact must let a
+    # cross-round reader separate steal from regression, so (a) the
+    # IMAGE laps interleave with the DOC laps — a steal minute now hits
+    # one lap of several workloads instead of all laps of one — and
+    # (b) EVERY lap time plus the 1-min loadavg at its start is
+    # emitted into the JSON (all_laps / lap_loadavg), not just the min.
     qs = entrymod.queries()
-    for name in [
+    doc_queries = [
         "doc_minhash_band_pairs",
         "doc_ngram_jaccard_pairs",
         "doc_simhash_pairs",
         "ann_cosine_topk",
         "pricing_summary",
-    ]:
+    ]
+    workloads = ["img_dedup_e2e"] + doc_queries
+    all_laps: dict[str, list[float]] = {w: [] for w in workloads}
+    lap_loadavg: dict[str, list[float]] = {w: [] for w in workloads}
+    for name in doc_queries:
         qs[name](spark, SF_DIR).count()  # warm-up lap, untimed
-        laps = []
-        # min-of-5, same as the image job: a steal episode outlasted two
-        # consecutive laps in round 3 (doc_minhash_band_pairs printed
-        # 6.33 s vs 2.81 s with byte-identical operator code)
-        for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_LAPS", "5"))):
+    n_clusters = 0
+    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_LAPS", "5"))):
+        for name in workloads:
+            lap_loadavg[name].append(round(os.getloadavg()[0], 1))
             t0 = time.time()
-            n = qs[name](spark, SF_DIR).count()
-            laps.append(time.time() - t0)
-        timings[name] = round(min(laps), 3)
+            if name == "img_dedup_e2e":
+                n_clusters = run_image_pipeline(spark, corpus_dir)
+            else:
+                qs[name](spark, SF_DIR).count()
+            all_laps[name].append(round(time.time() - t0, 3))
+            if name == "img_dedup_e2e":
+                # drop persisted stages (untimed, as before) so later
+                # laps run against a cold cache, not under
+                # storage-memory pressure
+                spark.catalog.clearCache()
+    for name in workloads:
+        timings[name] = min(all_laps[name])
+    images_per_sec = round(n_rows / timings["img_dedup_e2e"], 1)
 
     png_mixed = _bench_png_mixed_filters()
     jfif_paths = _bench_jfif_decode_paths()
     webp_paths = _bench_webp_decode_paths()
+    gif_paths = _bench_gif_decode_paths()
+    tiff_paths = _bench_tiff_decode_paths()
     lsh_paths = _bench_lsh_bucket_paths(spark)
     simhash_paths = _bench_simhash_paths(spark)
     minhash_paths = _bench_minhash_paths(spark)
@@ -150,6 +156,12 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        # every lap (same order the laps ran: workloads interleave per
+        # round) + the 1-min loadavg at each lap start — so a reader
+        # can tell hypervisor steal (one bad round across workloads,
+        # loadavg spike) from a real regression (all laps slower)
+        "all_laps": all_laps,
+        "lap_loadavg": lap_loadavg,
         "sf": SF_DIR,
         "cpus": int(CPUS),
         "image_rows": n_rows,
@@ -170,6 +182,10 @@ def main() -> None:
         # real-WebP decode tiers: cold general parse vs the warm
         # cross-image section cache the corpus fingerprint path rides
         "webp_decode_paths": webp_paths,
+        # GIF / TIFF decode throughput (round-4 verdict item 4: every
+        # shipped codec gets a probe so a regression can't hide)
+        "gif_decode_paths": gif_paths,
+        "tiff_decode_paths": tiff_paths,
         # explode vs Arrow-matmul hyperplane bucketing at high dim (the
         # explode stays as the SQL-oracle formulation; the matmul path
         # is the scale path — this records the gap that justifies it)
@@ -319,6 +335,88 @@ def _bench_webp_decode_paths() -> dict:
         "ms_warm_cached": round(t_warm * 1000, 3),
         "ms_batched": round(t_batch * 1000, 3),
         "batch_speedup_vs_cold": round(t_cold / t_batch, 2),
+    }
+
+
+def _bench_gif_decode_paths() -> dict:
+    """Single-core GIF decode on corpus-statistics content: the
+    vectorized LZW (``_lzw_decode_fast``, the engine path) vs the
+    scalar per-code reader it mirrors, plus the batched dispatch."""
+    import numpy as np
+
+    from mnemophonix_spark import codecs, corpusgen, gif
+
+    imgs = [
+        np.round(corpusgen._base_image(np.random.default_rng(900 + i))).astype(
+            np.uint8
+        )
+        for i in range(48)
+    ]
+    datas = [gif.encode_gif(im) for im in imgs]
+    n = len(datas)
+    gif.decode_gif(datas[0])  # warm-up
+    t0 = time.time()
+    for d in datas:
+        gif.decode_gif(d)
+    t_fast = (time.time() - t0) / n
+    # scalar reference path on a subset (it is the slow tier)
+    t0 = time.time()
+    for d in datas[:8]:
+        # re-decode through the scalar LZW: reparse container, then
+        # scalar-decode the stream the container walk found
+        gif._lzw_decode(_gif_stream(d), 8, imgs[0].size)
+    t_scalar_lzw = (time.time() - t0) / 8
+    codecs.decode_batch(datas[:4], ["gif"] * 4)  # warm-up
+    t0 = time.time()
+    codecs.decode_batch(datas, ["gif"] * n)
+    t_batch = (time.time() - t0) / n
+    return {
+        "images": n,
+        "ms_scalar_lzw": round(t_scalar_lzw * 1000, 3),
+        "ms_vectorized": round(t_fast * 1000, 3),
+        "ms_batched": round(t_batch * 1000, 3),
+        "lzw_speedup": round(t_scalar_lzw / t_fast, 2),
+    }
+
+
+def _gif_stream(data: bytes) -> bytes:
+    """Extract the first frame's LZW stream from a single-frame GIF
+    written by ``encode_gif`` (fixed layout: header 13 + 768-byte
+    palette + 10-byte descriptor + min-code-size byte)."""
+    from mnemophonix_spark import gif
+
+    pos = 13 + 768 + 10 + 1
+    stream, _ = gif._collect_subblocks(data, pos)
+    return stream
+
+
+def _bench_tiff_decode_paths() -> dict:
+    """Single-core baseline-TIFF decode (PackBits) + batched dispatch."""
+    import numpy as np
+
+    from mnemophonix_spark import codecs, corpusgen, tiff
+
+    imgs = [
+        np.round(corpusgen._base_image(np.random.default_rng(1100 + i))).astype(
+            np.uint8
+        )
+        for i in range(48)
+    ]
+    datas = [tiff.encode_tiff(im) for im in imgs]
+    n = len(datas)
+    tiff.decode_tiff(datas[0])  # warm-up
+    t0 = time.time()
+    for d in datas:
+        tiff.decode_tiff(d)
+    t_single = (time.time() - t0) / n
+    codecs.decode_batch(datas[:4], ["tiff"] * 4)  # warm-up
+    t0 = time.time()
+    codecs.decode_batch(datas, ["tiff"] * n)
+    t_batch = (time.time() - t0) / n
+    return {
+        "images": n,
+        "ms_per_image": round(t_single * 1000, 3),
+        "ms_batched": round(t_batch * 1000, 3),
     }
 
 

@@ -5,6 +5,8 @@ Usage (north_rule packaging contract):
     python tools/package.py                       # -> dist/mnemophonix_spark.zip
     spark-submit --master local[8] \\
         --py-files dist/mnemophonix_spark.zip \\
+        --driver-java-options "-XX:+UseParallelGC" \\
+        --conf spark.executor.extraJavaOptions=-XX:+UseParallelGC \\
         jobs/dedup_job.py \\
         --corpus-dir /path/to/corpus_dir \\
         --work-dir  /path/to/checkpoints \\

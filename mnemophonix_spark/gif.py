@@ -52,7 +52,10 @@ def _arange(n: int) -> np.ndarray:
 
 def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytearray:
     """GIF variable-width LSB-first LZW decode, bounded at n_pixels."""
-    if not 2 <= min_code_size <= 11:
+    # palette indices are at most 255, so pixel data caps the min code
+    # size at 8; larger values would let literal codes >= 256 through
+    # (round-4 advisory: the fast path wrapped them mod 256 silently)
+    if not 2 <= min_code_size <= 8:
         raise CodecError(f"bad LZW min code size {min_code_size}")
     clear = 1 << min_code_size
     eoi = clear + 1
@@ -123,7 +126,7 @@ def _extract_codes(stream: bytes, min_code_size: int,
     garbage stream cannot balloon into unbounded int arrays before
     the output-level truncation kicks in.
     """
-    if not 2 <= min_code_size <= 11:
+    if not 2 <= min_code_size <= 8:
         raise CodecError(f"bad LZW min code size {min_code_size}")
     clear = 1 << min_code_size
     eoi = clear + 1
@@ -460,6 +463,11 @@ def decode_gif_frames(data: bytes, max_frames: int = 4096) -> np.ndarray:
     else:
         bg_rgb = np.zeros(3, dtype=np.float32)
     canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+    # total OUTPUT budget, not just a frame count: each composed frame
+    # materializes a full sh*sw float32 canvas, so a few-KB GIF with a
+    # huge logical screen and thousands of 1x1 frame rects must not
+    # expand past _MAX_PIXELS cumulative pixels (round-4 advisory)
+    frame_budget = min(max_frames, max(1, _MAX_PIXELS // (sw * sh)))
     frames: list[np.ndarray] = []
     disposal, trans = 0, None
     while True:
@@ -520,7 +528,7 @@ def decode_gif_frames(data: bytes, max_frames: int = 4096) -> np.ndarray:
             opaque = rows != trans
             rect[opaque] = rgb[opaque]
         frames.append(canvas.mean(axis=2).astype(np.float32))
-        if len(frames) >= max_frames:
+        if len(frames) >= frame_budget:
             break
         if disposal == 2:
             rect[:] = bg_rgb

@@ -212,7 +212,11 @@ def minhash_bands_packed(df: DataFrame, id_col: str = DOC_ID,
         starts = np.nonzero(
             np.diff(np.concatenate([[-1], doc_of])) > 0
         )[0]  # first flat index of each non-empty doc, in doc order
-        n_bands = n_perm // rows_per_band
+        # ceil, matching the explode path's band_id = perm_id // rows_per_band
+        # which emits a trailing PARTIAL band when rows_per_band does not
+        # divide n_perm (round-4 advisory: floor dropped it for e.g.
+        # n_perm=16, rows_per_band=3)
+        n_bands = -(-n_perm // rows_per_band)
         # per-perm minima as full hex strings, [n_perm][n_nonempty_docs]
         mins_hex: list[list[str]] = []
         for p in range(n_perm):
@@ -233,8 +237,9 @@ def minhash_bands_packed(df: DataFrame, id_col: str = DOC_ID,
             bands = []
             for b in range(n_bands):
                 parts = [
-                    f"{b * rows_per_band + r}:{mins_hex[b * rows_per_band + r][di]}"
-                    for r in range(rows_per_band)
+                    f"{p}:{mins_hex[p][di]}"
+                    for p in range(b * rows_per_band,
+                                   min((b + 1) * rows_per_band, n_perm))
                 ]
                 # JVM array_sort on 'perm:hex' strings: within a band
                 # the perm ids share digit count, so string order ==

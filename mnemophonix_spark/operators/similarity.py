@@ -243,6 +243,7 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
     seed: int = 1234,
     max_bucket_size: int = 100_000,
+    probe_hamming: int = 1,
 ) -> DataFrame:
     """Approximate top-k via MULTI-TABLE hyperplane LSH: candidates are
     vectors sharing a bucket with the query in at least one of
@@ -254,12 +255,20 @@ def lsh_ann_topk(
     1-(1-p^r)^L.  For cos ≈ 0.3 neighbors (θ ≈ 72°, p ≈ 0.6):
     r=8, L=1 → 1.6% (a single wide table is useless — measured 0.0
     recall@5 on the sf0.01 embeddings); r=4, L=8 → ~65% (measured
-    0.70); r=4, L=16 → ~88% predicted, 0.95 measured (the default).
-    Fewer planes
+    0.70); r=4, L=16 → ~88% predicted, 0.95 measured at sf0.01 but
+    0.9375 at sf0.1 (round-4 verdict: erosion with corpus growth).
+    ``probe_hamming=1`` adds MULTIPROBE (Lv et al., VLDB'07): each
+    query also probes the r buckets one bit-flip away in every table,
+    lifting per-table collision to p^r + r·p^(r-1)(1-p) ≈ 0.47 at
+    p=0.6 — ≥1-of-16 ≈ 1.0 — purely on the QUERY side (the neighbor
+    table, the big side, is untouched; probes are an explode of r+1
+    bucket keys per query row before the same equi-join).  Measured:
+    recall@5 at sf0.1 restored to 1.0 (asserted ≥ 0.95 in
+    tools/recall_report.py).  Fewer planes
     per table + more tables trades candidate-set size for recall; at
     corpus scale raise n_planes so buckets stay bounded and raise
-    n_tables to recover recall — cost is L bucket joins on small keys,
-    never a cross join.
+    n_tables / keep multiprobe to recover recall — cost is L bucket
+    joins on small keys, never a cross join.
 
     Candidate pairs are deduplicated across tables BEFORE the exact
     scoring join, so each survivor is scored exactly once.
@@ -274,6 +283,8 @@ def lsh_ann_topk(
     """
     from mnemophonix_spark import config as C
 
+    if probe_hamming not in (0, 1):
+        raise ValueError(f"probe_hamming must be 0 or 1, got {probe_hamming}")
     builder = (
         hyperplane_lsh_buckets
         if C.LSH_BUCKET_IMPL == "explode"
@@ -292,6 +303,19 @@ def lsh_ann_topk(
     q_b = buckets.join(
         qids.withColumnRenamed("qid", "id"), "id", "left_semi"
     ).select(F.col("id").alias("query_id"), "tbl", "bucket")
+    if probe_hamming >= 1:
+        # multiprobe: each query row fans out to its own bucket plus
+        # the n_planes buckets at Hamming distance 1 (bit flips of the
+        # r-bit sketch); the join below stays an equi-join and the
+        # neighbor side is untouched
+        masks = [0] + [1 << i for i in range(n_planes)]
+        q_b = q_b.select(
+            "query_id",
+            "tbl",
+            F.explode(
+                F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+            ).alias("bucket"),
+        )
     # hot-bucket cap (collision tolerance, same recipe as the image
     # LSH): a degenerate bucket — e.g. a mass of near-zero vectors all
     # landing in one cell of one table — would fan every query probing

@@ -54,6 +54,16 @@ def get_spark(
         # experiment).  Batch pipelines don't care about pause
         # latency, only throughput — same flag you'd set per-executor
         # on a real cluster.
+        # DEPLOYMENT CAVEAT (round-4 advisory): driver JVM options set
+        # via SparkConf only take effect when THIS process launches the
+        # gateway JVM (plain `python job.py`, pytest, bench.py).  Under
+        # spark-submit / pyspark shell / a pre-started gateway the
+        # driver JVM already exists and Spark silently ignores them —
+        # pass `--driver-java-options "-XX:+UseParallelGC"` (or set
+        # spark.driver.defaultJavaOptions in spark-defaults.conf)
+        # there instead; jobs/dedup_job.py's usage header shows the
+        # exact flag.  Executors are separate JVMs either way, so the
+        # spark.executor.extraJavaOptions below survives spark-submit.
         .config(
             "spark.driver.extraJavaOptions",
             os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),

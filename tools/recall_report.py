@@ -97,9 +97,12 @@ def main() -> None:
     n_emb = emb.count()
     emb.unpersist()
     ann_recall = len(exact & approx) / max(1, len(exact))
-    assert ann_recall >= 0.9, (
+    # round-4 verdict What's-wrong 1: the guard had been re-baselined to
+    # 0.9 when growth eroded recall; multiprobe (probe_hamming=1) restores
+    # it, and the assert is re-pinned at the advertised 0.95
+    assert ann_recall >= 0.95, (
         f"lsh_ann_topk recall@5 eroded to {ann_recall:.3f} at sf0.1 — "
-        "retune n_planes/n_tables"
+        "retune n_planes/n_tables/probe_hamming"
     )
 
     report = f"""# BENCH/RECALL.md — dup-pair recall at bench scale
@@ -116,7 +119,7 @@ wall {wall:.1f}s.
 | + phash channel (union), fingerprintable | **{union_recall_live:.4f}** ({len(img_truth_live & union_pairs)}/{len(img_truth_live)}) | >= 0.99 |
 | caption-channel recall (kinds 5-6) | **{cap_recall:.4f}** ({len(cap_truth & cap_pairs)}/{len(cap_truth)}) | >= 0.99 |
 | cluster-assignment agreement (fingerprintable members) | {cluster_match:.4f} | — |
-| lsh_ann_topk recall@5 vs exact (sf0.1 embeddings, {n_emb} vectors, r=4 L=16) | **{ann_recall:.4f}** ({len(exact & approx)}/{len(exact)}) | >= 0.9 (asserted) |
+| lsh_ann_topk recall@5 vs exact (sf0.1 embeddings, {n_emb} vectors, r=4 L=16 multiprobe H<=1) | **{ann_recall:.4f}** ({len(exact & approx)}/{len(exact)}) | >= 0.95 (asserted) |
 
 "Fingerprintable" excludes pairs where a member hit the chain's
 silence/degenerate gate (rawfingerprints.c:10-16 semantics: the image
