@@ -272,7 +272,9 @@ def _bench_jfif_decode_paths() -> dict:
     ]
     d_rst = [jfif.encode_jfif(im, 95) for im in imgs]
     d_flat = [jfif.encode_jfif(im, 95, restart_interval=0) for im in imgs]
+    d_dri8 = [jfif.encode_jfif(im, 95, restart_interval=8) for im in imgs]
     jfif.decode_jfif_batch(d_rst[:4])
+    jfif.decode_jfif_batch(d_flat[:4])
     jfif.decode_jfif(d_flat[0])
     n = len(imgs)
     t0 = time.time()
@@ -286,12 +288,24 @@ def _bench_jfif_decode_paths() -> dict:
     t0 = time.time()
     jfif.decode_jfif_batch(d_rst)
     t_batch = (time.time() - t0) / n
+    # FOREIGN-style streams (round-5): no restart markers (one lane per
+    # image, DC carried in-lane) and DRI=8 (lane per segment) — the
+    # real-world shapes the generalized lockstep now batches
+    t0 = time.time()
+    jfif.decode_jfif_batch(d_flat)
+    t_dri0 = (time.time() - t0) / n
+    t0 = time.time()
+    jfif.decode_jfif_batch(d_dri8)
+    t_dri8 = (time.time() - t0) / n
     return {
         "images": n,
         "ms_listpath": round(t_list * 1000, 3),
         "ms_lockstep_single": round(t_single * 1000, 3),
         "ms_lockstep_batched": round(t_batch * 1000, 3),
+        "ms_foreign_dri0_batched": round(t_dri0 * 1000, 3),
+        "ms_foreign_dri8_batched": round(t_dri8 * 1000, 3),
         "batch_speedup_vs_listpath": round(t_list / t_batch, 2),
+        "dri0_speedup_vs_listpath": round(t_list / t_dri0, 2),
     }
 
 

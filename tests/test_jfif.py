@@ -405,3 +405,64 @@ def test_property_roundtrip_bounded_error():
         assert np.abs(out - img).max() <= 40.0
 
     run()
+
+
+def test_foreign_dri_gray_batch_exact():
+    """Round-5 headline (round-4 verdict item 1): the grayscale batch
+    lockstep accepts FOREIGN restart intervals — DRI=0 (no restart
+    markers, the dominant real-world shape: one lane per image with
+    the DC predictor carried inside the lane), and any DRI >= 2 (one
+    lane per segment) — and is bit-identical to per-image decode."""
+    from mnemophonix_spark import corpusgen
+
+    datas, refs = [], []
+    for i in range(12):
+        rng = np.random.default_rng(7000 + i)
+        img = np.round(corpusgen._base_image(rng)).astype(np.uint8)
+        ri = [0, 1, 2, 8][i % 4]
+        q = [95, 90, 75][i % 3]
+        d = jfif.encode_jfif(img, q, restart_interval=ri)
+        datas.append(d)
+        refs.append(jfif.decode_jfif(d))
+    outs = jfif.decode_jfif_batch(datas)
+    for a, b in zip(refs, outs):
+        assert np.array_equal(a, b)
+    # decode_batch dispatch must ride the same path (no fallback)
+    got = codecs.decode_batch(datas, ["jfif"] * len(datas))
+    for a, b in zip(refs, got):
+        assert np.array_equal(a, b)
+
+
+def test_foreign_dri_color_batch_exact():
+    """Color twin: _lockstep_color_general decodes mixed-layout
+    (4:4:4 / 4:2:0), mixed-DRI (0 / 2 / 8) YCbCr batches bit-identical
+    to per-image decode, with per-component DC predictors carried
+    across every MCU of a lane."""
+    datas, refs = [], []
+    for i in range(12):
+        rgb = _natural_color(7100 + i)
+        ri = [0, 2, 8][i % 3]
+        sub = ["444", "420"][i % 2]
+        d = jfif.encode_jfif(rgb, 92, restart_interval=ri, subsampling=sub)
+        datas.append(d)
+        refs.append(jfif.decode_jfif(d))
+    outs = [o.mean(axis=2).astype(np.float32)
+            for o in jfif.decode_jfif_color_batch(datas)]
+    for a, b in zip(refs, outs):
+        assert np.array_equal(a, b)
+
+
+def test_foreign_dri_truncated_quarantines():
+    """A truncated no-restart stream in a batch raises CodecError (the
+    dispatch then falls back per-image so quarantine stays per-row)."""
+    from mnemophonix_spark import corpusgen
+
+    rng = np.random.default_rng(7200)
+    img = np.round(corpusgen._base_image(rng)).astype(np.uint8)
+    good = jfif.encode_jfif(img, 90, restart_interval=0)
+    bad = good[: len(good) // 2] + b"\xff\xd9"
+    with pytest.raises(codecs.CodecError):
+        jfif.decode_jfif_batch([good, bad])
+    out = codecs.decode_batch([good, bad], ["jfif", "jfif"])
+    assert np.array_equal(out[0], jfif.decode_jfif(good))
+    assert isinstance(out[1], codecs.CodecError)
