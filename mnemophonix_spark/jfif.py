@@ -430,6 +430,12 @@ def _unstuff_entropy(data: bytes, start: int) -> bytes | None:
 
 _SEGMENT_MIN_LANES = 8  # below this the per-bit reader is faster
 
+# minimum GENERAL-pool lane count for the batched foreign-stream
+# lockstep to beat the per-symbol window path (measured crossover at
+# q95-dense streams: ~80-96 single-image lanes); smaller pools decode
+# per-image inside the batch call instead
+_GEN_MIN_LANES = 64
+
 # the non-restart fast path materializes one boxed-int window per bit
 # (~300x the unstuffed size); bound it so a multi-MB foreign JPEG can't
 # balloon executor memory before geometry checks run (round-3 advice) —
@@ -768,6 +774,22 @@ def _decode_jfif_batch(datas: list[bytes]) -> list[np.ndarray]:
             lut_parts.append(_lut_np_cached(dct, act))
         base_of_img.append(i * 131072)
     lut2 = lut_parts[0] if len(lut_parts) == 1 else np.concatenate(lut_parts)
+    # pre-scan segmentations so the routing decision sees the whole
+    # batch: a foreign lane only pays off in lockstep COMPANY (measured
+    # crossover vs the per-symbol window path ~80-96 lanes at q95), so
+    # a batch with too few general lanes decodes those images per-image
+    seginfo = []
+    gen_lanes = 0
+    for (qtab, dct, act, h, w, ri, sos), data in zip(metas, datas):
+        bh, bwn = (h + 7) // 8, (w + 7) // 8
+        nb = bh * bwn
+        out, us, ul = _segment_scan(data, sos)
+        rems = _lane_rems(nb, ri, us.size)
+        seginfo.append((out, us, ul, rems, bh, bwn, nb))
+        if ri != 1:
+            gen_lanes += us.size
+    gen_ok = gen_lanes >= _GEN_MIN_LANES
+    direct: dict[int, np.ndarray] = {}
     chunks = []
     shapes = []
     # two lane pools: DRI=1 segments keep the specialized interval-1
@@ -777,12 +799,13 @@ def _decode_jfif_batch(datas: list[bytes]) -> list[np.ndarray]:
     gen = {"pos": [], "limit": [], "base": [], "blk": [], "rem": []}
     total_bytes = 0
     total_blocks = 0
-    for (qtab, dct, act, h, w, ri, sos), data, base in zip(
-            metas, datas, base_of_img):
-        bh, bwn = (h + 7) // 8, (w + 7) // 8
-        nb = bh * bwn
-        out, us, ul = _segment_scan(data, sos)
-        rems = _lane_rems(nb, ri, us.size)
+    for ii, ((qtab, dct, act, h, w, ri, sos), data, base) in enumerate(
+            zip(metas, datas, base_of_img)):
+        out, us, ul, rems, bh, bwn, nb = seginfo[ii]
+        if ri != 1 and not gen_ok:
+            direct[ii] = _decode_jfif(data)
+            shapes.append(None)
+            continue
         pos = (us + total_bytes) * 8
         limit = (us + ul + total_bytes) * 8
         blk0 = total_blocks + np.concatenate(
@@ -799,6 +822,8 @@ def _decode_jfif_batch(datas: list[bytes]) -> list[np.ndarray]:
         shapes.append((qtab, h, w, bh, bwn, total_blocks, nb))
         total_bytes += out.size
         total_blocks += nb
+    if not chunks:  # every image routed per-image
+        return [direct[ii] for ii in range(len(datas))]
     w40 = _pad_w40(np.concatenate(chunks))
     zz = np.zeros((total_blocks, 64), dtype=np.int64)
     if i1["pos"]:
@@ -813,8 +838,9 @@ def _decode_jfif_batch(datas: list[bytes]) -> list[np.ndarray]:
             np.concatenate(gen["limit"]), zz
         )
     return [
-        _reassemble(zz[off : off + nb], qtab, h, w, bh, bwn)
-        for (qtab, h, w, bh, bwn, off, nb) in shapes
+        direct[ii] if s is None
+        else _reassemble(zz[s[5] : s[5] + s[6]], s[0], s[1], s[2], s[3], s[4])
+        for ii, s in enumerate(shapes)
     ]
 
 
@@ -939,6 +965,23 @@ def _color_general_group(datas: list[bytes], items: list, layout: str,
         comp_of_phase = np.asarray([0, 0, 0, 0, 1, 2], dtype=np.int64)
         geom = lambda h, w: ((h + 15) // 16, (w + 15) // 16)  # noqa: E731
     n_phase = comp_of_phase.size
+    # same routing rule as the grayscale batch: too few lanes and the
+    # per-symbol path wins — decode per-image instead (a color stream
+    # carries n_phase x the symbols, so its per-image cost is higher
+    # and the same lane threshold is conservative)
+    seginfo = {}
+    total_lanes = 0
+    for idx, comps, h, w, ri, sos in items:
+        my, mx = geom(h, w)
+        n_mcu = my * mx
+        out, us, ul = _segment_scan(datas[idx], sos)
+        rems = _lane_rems(n_mcu, ri, us.size)
+        seginfo[idx] = (out, us, ul, rems, my, mx, n_mcu)
+        total_lanes += us.size
+    if total_lanes < _GEN_MIN_LANES:
+        for idx, *_rest in items:
+            results[idx] = decode_jfif_rgb(datas[idx])
+        return
     lut_parts: list[np.ndarray] = []
     pair_idx: dict = {}
     chunks = []
@@ -947,10 +990,7 @@ def _color_general_group(datas: list[bytes], items: list, layout: str,
     total_bytes = 0
     total_mcus = 0
     for idx, comps, h, w, ri, sos in items:
-        my, mx = geom(h, w)
-        n_mcu = my * mx
-        out, us, ul = _segment_scan(datas[idx], sos)
-        rems = _lane_rems(n_mcu, ri, us.size)
+        out, us, ul, rems, my, mx, n_mcu = seginfo[idx]
         bases = []
         for c in range(3):
             key = (id(comps[c][1]), id(comps[c][2]))
