@@ -671,10 +671,11 @@ def _decode_jfif(data: bytes) -> np.ndarray:
     return jfif.decode_jfif(data)
 
 
-def _encode_jfif(gray: np.ndarray, quality: int = 90) -> bytes:
+def _encode_jfif(gray: np.ndarray, quality: int = 90,
+                 restart_interval: int = 1) -> bytes:
     from mnemophonix_spark import jfif
 
-    return jfif.encode_jfif(gray, quality)
+    return jfif.encode_jfif(gray, quality, restart_interval=restart_interval)
 
 
 def _decode_webp(data: bytes) -> np.ndarray:

@@ -36,8 +36,11 @@ H_CHOICES = [64, 128, 256, 217]
 # alongside png/bmp and the FJPG stand-in; with "jfif" present the
 # lossy duplicate kind (2) also encodes through the real JPEG codec.
 # Since the WebP codec landed, lossless VP8L rows ride the same mix.
+# Round 5 adds TIFF (the last shipped codec with no graded row) and
+# makes the lossy-jfif rows FOREIGN-style (no restart markers, the
+# real-world encoder shape — decoded by the generalized lockstep).
 # Image fixtures and cached corpora regenerate with this list.
-FMT_CHOICES = ["png", "jpeg", "bmp", "jfif", "pgm", "webp", "gif"]
+FMT_CHOICES = ["png", "jpeg", "bmp", "jfif", "pgm", "webp", "gif", "tiff"]
 
 _WORDS = [
     f"w{i:03d}" for i in range(446)
@@ -114,7 +117,8 @@ class Corpus:
 
 def _encode_row(image_id: str, luma: np.ndarray, w: int, h: int, fmt: str,
                 caption: str, rng: np.random.Generator,
-                quality: int = 95, color: str | None = None) -> dict:
+                quality: int = 95, color: str | None = None,
+                foreign: bool = False) -> dict:
     from mnemophonix_spark.functions.kernels import area_resize
 
     pixels = np.clip(area_resize(luma, h, w), 0, 255).astype(np.float64)
@@ -137,7 +141,8 @@ def _encode_row(image_id: str, luma: np.ndarray, w: int, h: int, fmt: str,
         rgb = np.round(
             jfif.ycbcr_to_rgb(np.stack([pixels, cb, cr], axis=-1))
         )
-        data = jfif.encode_jfif(rgb, quality=quality, subsampling=color)
+        data = jfif.encode_jfif(rgb, quality=quality, subsampling=color,
+                                restart_interval=0 if foreign else 1)
         return {
             "image_id": image_id,
             "bytes": data,
@@ -148,6 +153,8 @@ def _encode_row(image_id: str, luma: np.ndarray, w: int, h: int, fmt: str,
             "phash": _phash64(rgb.mean(axis=2)),
         }
     kw = {"quality": quality} if fmt in ("jpeg", "jfif") else {}
+    if foreign and fmt == "jfif":
+        kw["restart_interval"] = 0
     data = codecs.encode(pixels, fmt, **kw)
     return {
         "image_id": image_id,
@@ -201,10 +208,15 @@ def generate(n_rows: int, seed: int = SEED, id_offset: int = 0,
                 other = [f for f in fmts if f != base_fmt] or fmts
                 fmt = str(rng.choice(other))
                 row = _encode_row(vid, base, base_w, base_h, fmt, _caption(rng), rng)
-            elif kind == 2:  # lossy re-encode
+            elif kind == 2:  # lossy re-encode — FOREIGN-style bitstream
+                # (no restart markers) when the real JPEG codec is in
+                # the mix: real-world encoders emit no RSTn, so the
+                # graded corpus exercises the generalized no-restart
+                # lockstep (round-4 verdict item 1 'done' criterion)
                 q = int(rng.choice([90, 95]))
                 row = _encode_row(vid, base, base_w, base_h, lossy_fmt,
-                                  _caption(rng), rng, quality=q)
+                                  _caption(rng), rng, quality=q,
+                                  foreign=(lossy_fmt == "jfif"))
             elif kind == 3:  # mild noise on <=5% of pixels
                 noisy = base.copy()
                 mask = rng.random(base.shape) < 0.05
@@ -244,8 +256,13 @@ def generate(n_rows: int, seed: int = SEED, id_offset: int = 0,
         i += 1
         fmt = str(rng.choice(fmts))
         color = None
+        foreign = False
         if fmt == "jfif" and rng.random() < (1 / 3):
             color = "444" if color_cycle % 2 == 0 else "420"
+            # half the color rows carry NO restart markers (foreign
+            # encoder shape) so the graded corpus exercises the
+            # color-general lockstep too
+            foreign = color_cycle % 4 >= 2
             color_cycle += 1
         corpus.rows.append(
             _encode_row(
@@ -257,6 +274,7 @@ def generate(n_rows: int, seed: int = SEED, id_offset: int = 0,
                 _caption(rng),
                 rng,
                 color=color,
+                foreign=foreign,
             )
         )
     return corpus
