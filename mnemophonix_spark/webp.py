@@ -719,7 +719,8 @@ def _apply_inverse_transforms(argb, transforms):
 # --- container + public API ------------------------------------------------
 
 
-def _vp8l_payload(data: bytes) -> bytes:
+def _payload(data: bytes) -> tuple[bytes, bytes]:
+    """RIFF walk -> (tag, body) of the first VP8L or 'VP8 ' chunk."""
     if len(data) < 20 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise CodecError("not a WEBP file")
     pos = 12
@@ -729,18 +730,33 @@ def _vp8l_payload(data: bytes) -> bytes:
         body = data[pos + 8 : pos + 8 + size]
         if len(body) < size:
             raise CodecError("truncated WEBP chunk")
-        if tag == b"VP8L":
-            return body
-        if tag in (b"VP8 ", b"VP8X"):
-            raise CodecError("unsupported WEBP variant (lossy/extended)")
+        if tag in (b"VP8L", b"VP8 "):
+            return bytes(tag), body
+        if tag == b"VP8X":
+            raise CodecError("unsupported WEBP variant (extended)")
         pos += 8 + size + (size & 1)
-    raise CodecError("no VP8L chunk")
+    raise CodecError("no VP8L/VP8 chunk")
+
+
+def _vp8l_payload(data: bytes) -> bytes:
+    tag, body = _payload(data)
+    if tag != b"VP8L":
+        raise CodecError("not a VP8L (lossless) WEBP")
+    return body
 
 
 def decode_webp_rgb(data: bytes) -> np.ndarray:
-    """WEBP (VP8L lossless) bytes -> RGB float32 [h, w, 3]."""
+    """WEBP bytes -> RGB float32 [h, w, 3].  VP8L (lossless) decodes
+    in full; lossy 'VP8 ' key frames decode through the
+    Y-plane-sufficient vp8 module (luma replicated to the three
+    channels — see vp8.py's scoping docstring)."""
     try:
-        body = _vp8l_payload(data)
+        tag, body = _payload(data)
+        if tag == b"VP8 ":
+            from mnemophonix_spark import vp8 as _vp8
+
+            y = _vp8.decode_vp8_frame(body)
+            return np.repeat(y[:, :, None], 3, axis=2)
         if not body or body[0] != 0x2F:
             raise CodecError("bad VP8L signature")
         r = _Reader(body, 8)
@@ -1295,20 +1311,31 @@ def _container(payload: bytes) -> bytes:
 
 def encode_webp(img: np.ndarray, mode: str = "flat8",
                 predictor: int | None = None,
-                palette: bool = False, cache_bits: int = 0) -> bytes:
-    """8-bit grayscale [h, w] or RGB [h, w, 3] -> lossless WEBP (VP8L).
+                palette: bool = False, cache_bits: int = 0,
+                quality: int = 90) -> bytes:
+    """8-bit grayscale [h, w] or RGB [h, w, 3] -> WEBP.
 
-    mode='flat8' (default): subtract-green + flat 8-bit green literal
-    code — the corpus shape, decoded by the vectorized fast path.
+    mode='flat8' (default): lossless VP8L, subtract-green + flat 8-bit
+    green literal code — the corpus shape, decoded by the vectorized
+    fast path.
     mode='huffman': real histogram prefix codes (general decoder path).
     mode='lz77': real backward references + optional color cache
     (cache_bits 1..11) — the genuinely compressive shape, exercising
     the decoder's LZ77/cache/distance-map machinery by roundtrip.
+    mode='lossy': LOSSY 'VP8 ' key frame (vp8.py — grayscale input
+    only; ``quality`` controls the quantizer, PSNR >= 40 dB at >= 90).
     predictor: optional uniform predictor mode 0..13 (adds a predictor
     transform; exercises the mode's inverse).  palette: color-indexing
     transform (requires <= 256 distinct colors; bundles sub-byte
     indices when <= 16).
     """
+    if mode == "lossy":
+        from mnemophonix_spark import vp8 as _vp8
+
+        arr = np.asarray(img)
+        if arr.ndim != 2:
+            raise CodecError("lossy webp mode takes grayscale input")
+        return _vp8.encode_webp_lossy(arr, quality)
     arr = np.asarray(img)
     if arr.ndim == 2:
         gray = np.round(np.clip(arr, 0, 255)).astype(np.uint32)
