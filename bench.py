@@ -146,6 +146,7 @@ def main() -> None:
     webp_paths = _bench_webp_decode_paths()
     gif_paths = _bench_gif_decode_paths()
     tiff_paths = _bench_tiff_decode_paths()
+    vp8_paths = _bench_vp8_decode_paths()
     lsh_paths = _bench_lsh_bucket_paths(spark)
     simhash_paths = _bench_simhash_paths(spark)
     minhash_paths = _bench_minhash_paths(spark)
@@ -186,6 +187,10 @@ def main() -> None:
         # shipped codec gets a probe so a regression can't hide)
         "gif_decode_paths": gif_paths,
         "tiff_decode_paths": tiff_paths,
+        # lossy-WebP (VP8 key frame) decode throughput — the newest
+        # codec; records per-image vs batched cost so the decision to
+        # (not) plant it in the graded corpus stays evidence-based
+        "vp8_decode_paths": vp8_paths,
         # explode vs Arrow-matmul hyperplane bucketing at high dim (the
         # explode stays as the SQL-oracle formulation; the matmul path
         # is the scale path — this records the gap that justifies it)
@@ -426,6 +431,39 @@ def _bench_tiff_decode_paths() -> dict:
     codecs.decode_batch(datas[:4], ["tiff"] * 4)  # warm-up
     t0 = time.time()
     codecs.decode_batch(datas, ["tiff"] * n)
+    t_batch = (time.time() - t0) / n
+    return {
+        "images": n,
+        "ms_per_image": round(t_single * 1000, 3),
+        "ms_batched": round(t_batch * 1000, 3),
+    }
+
+
+def _bench_vp8_decode_paths() -> dict:
+    """Single-core lossy-WebP (VP8 key frame) decode on
+    corpus-statistics content: the per-image path vs the batched
+    dispatch (which routes 'VP8 ' bodies per-image inside
+    decode_webp_gray_batch — this probe records that cost honestly)."""
+    import numpy as np
+
+    from mnemophonix_spark import codecs, corpusgen, vp8, webp
+
+    imgs = [
+        np.round(corpusgen._base_image(np.random.default_rng(1300 + i))).astype(
+            np.uint8
+        )
+        for i in range(24)
+    ]
+    datas = [vp8.encode_webp_lossy(im, quality=92) for im in imgs]
+    n = len(datas)
+    webp.decode_webp(datas[0])  # warm-up
+    t0 = time.time()
+    for d in datas:
+        webp.decode_webp(d)
+    t_single = (time.time() - t0) / n
+    codecs.decode_batch(datas[:4], ["webp"] * 4)  # warm-up
+    t0 = time.time()
+    codecs.decode_batch(datas, ["webp"] * n)
     t_batch = (time.time() - t0) / n
     return {
         "images": n,

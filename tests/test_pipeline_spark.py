@@ -482,9 +482,15 @@ def test_real_format_corpus_end_to_end(spark, tmp_path):
     out = str(tmp_path / "realfmt")
     c = corpusgen.write_corpus(
         out, 120, seed=11,
-        fmt_choices=["jfif", "pgm", "png", "webp", "gif", "tiff"])
+        fmt_choices=["jfif", "pgm", "png", "webp", "gif", "tiff",
+                     "webp_lossy"])
     fmts = {r["fmt"] for r in c.rows}
     assert fmts == {"jfif", "pgm", "png", "webp", "gif", "tiff"}
+    # the webp_lossy kind plants real 'VP8 ' (lossy) key frames among
+    # the kind-2 re-encodes — the vp8.py decode path must carry its
+    # share of the recall contract below, not just codec roundtrips
+    n_vp8 = sum(1 for r in c.rows if r["bytes"][12:16] == b"VP8 ")
+    assert n_vp8 >= 1, "no lossy VP8 rows planted"
 
     corpus = spark.read.parquet(f"{out}/corpus")
     sigs = fingerprint(corpus).persist()
