@@ -246,21 +246,23 @@ def _idct4x4(b: np.ndarray) -> np.ndarray:
 
 
 def _iwht4x4(b: np.ndarray) -> np.ndarray:
-    """Integer inverse Walsh-Hadamard for the Y2 block (§14.3)."""
-    ip = b.reshape(4, 4).astype(np.int64)
+    """Integer inverse Walsh-Hadamard for the Y2 block (§14.3),
+    vectorized over leading axes like _idct4x4.  ``b``: int64
+    [..., 16] -> [..., 4, 4]."""
+    ip = np.asarray(b, dtype=np.int64).reshape(b.shape[:-1] + (4, 4))
     # first pass: columns
-    a1 = ip[0] + ip[3]
-    b1 = ip[1] + ip[2]
-    c1 = ip[1] - ip[2]
-    d1 = ip[0] - ip[3]
-    m = np.stack([a1 + b1, c1 + d1, a1 - b1, d1 - c1])
+    a1 = ip[..., 0, :] + ip[..., 3, :]
+    b1 = ip[..., 1, :] + ip[..., 2, :]
+    c1 = ip[..., 1, :] - ip[..., 2, :]
+    d1 = ip[..., 0, :] - ip[..., 3, :]
+    m = np.stack([a1 + b1, c1 + d1, a1 - b1, d1 - c1], axis=-2)
     # second pass: rows
-    a1 = m[:, 0] + m[:, 3]
-    b1 = m[:, 1] + m[:, 2]
-    c1 = m[:, 1] - m[:, 2]
-    d1 = m[:, 0] - m[:, 3]
+    a1 = m[..., :, 0] + m[..., :, 3]
+    b1 = m[..., :, 1] + m[..., :, 2]
+    c1 = m[..., :, 1] - m[..., :, 2]
+    d1 = m[..., :, 0] - m[..., :, 3]
     out = np.stack([a1 + b1 + 3, c1 + d1 + 3, a1 - b1 + 3, d1 - c1 + 3],
-                   axis=1)
+                   axis=-1)
     return out >> 3
 
 
@@ -501,10 +503,11 @@ def _uv_mode_write(be: _BoolEncoder, mode: int) -> None:
 # --------------------------------------------------------------------------
 
 
-def decode_vp8_frame(frame: bytes) -> np.ndarray:
-    """'VP8 ' chunk payload -> Y plane float32 [h, w] (the Y-plane-
-    sufficient subset: chroma tokens are parsed to keep the entropy
-    stream and contexts in sync, but only luma reconstructs)."""
+def _parse_frame_header(frame: bytes) -> tuple:
+    """'VP8 ' payload -> (w, h, mb_rows, mb_cols, qindex, probs,
+    skips, ymodes, token_buf): the uncompressed tag + the whole first
+    partition (feature flags, quantizer, prob updates, per-MB mode
+    records), leaving ``token_buf`` as the coefficient partition."""
     if len(frame) < 10:
         raise CodecError("truncated VP8 frame")
     tag = frame[0] | (frame[1] << 8) | (frame[2] << 16)
@@ -562,11 +565,25 @@ def decode_vp8_frame(frame: bytes) -> np.ndarray:
                 raise CodecError("VP8 B_PRED unsupported (16x16 subset)")
             ymodes[my, mx] = m
             uvmodes[my, mx] = _uv_mode_read(hd)
+    return (w, h, mb_rows, mb_cols, qindex, probs, skips, ymodes,
+            token_buf)
 
-    y_dc_q, y_ac_q, y2_dc_q, y2_ac_q, uv_dc_q, uv_ac_q = _quant_for(qindex)
+
+# levels-array phase layout: 25 blocks per MB — Y2, the 16 Y blocks in
+# raster order, U 2x2, V 2x2.  Coefficients in RASTER order (the
+# zigzag scatter happens at decode).
+_N_PHASES = 25
+
+
+def _decode_tokens_scalar(token_buf: bytes, probs: np.ndarray,
+                          skips: np.ndarray, mb_rows: int,
+                          mb_cols: int) -> np.ndarray:
+    """Coefficient partition -> quantized LEVELS [nmb, 25, 16] through
+    the per-symbol Python reference path (the lockstep pool in
+    vp8_lockstep.py is the batched engine path; this is its oracle)."""
     td = _BoolDecoder(token_buf)
-    recon = np.zeros((mb_rows * 16, mb_cols * 16), dtype=np.int64)
-    # nnz context planes: Y (4 per MB), Y2 (1), U and V (2 each)
+    nmb = mb_rows * mb_cols
+    levels = np.zeros((nmb, _N_PHASES, 16), dtype=np.int64)
     above_y = np.zeros(mb_cols * 4, np.int64)
     above_y2 = np.zeros(mb_cols, np.int64)
     above_u = np.zeros(mb_cols * 2, np.int64)
@@ -577,47 +594,71 @@ def decode_vp8_frame(frame: bytes) -> np.ndarray:
         left_u = np.zeros(2, np.int64)
         left_v = np.zeros(2, np.int64)
         for mx in range(mb_cols):
+            m = my * mb_cols + mx
             if skips[my, mx]:
                 above_y[mx * 4 : mx * 4 + 4] = 0
                 left_y[:] = 0
                 above_y2[mx] = left_y2 = 0
                 above_u[mx * 2 : mx * 2 + 2] = left_u[:] = 0
                 above_v[mx * 2 : mx * 2 + 2] = left_v[:] = 0
-                pred = _predict16(recon, my, mx, int(ymodes[my, mx]))
-                recon[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = pred
                 continue
-            # Y2
             ctx = int(above_y2[mx] + left_y2)
             c2, nnz2 = _decode_coeffs(td, _PLANE_Y2, 0, ctx, probs)
             above_y2[mx] = left_y2 = nnz2
-            dq2 = c2 * y2_ac_q
-            dq2[0] = c2[0] * y2_dc_q
-            dcs = _iwht4x4(dq2).ravel()  # 16 Y-block DCs, raster order
-            # 16 Y blocks
-            blocks = np.zeros((16, 16), dtype=np.int64)
+            levels[m, 0] = c2
             for b in range(16):
                 br, bc = b // 4, b % 4
                 ctx = int(above_y[mx * 4 + bc] + left_y[br])
                 cf, nnz = _decode_coeffs(td, _PLANE_Y_NO_DC, 1, ctx, probs)
                 above_y[mx * 4 + bc] = left_y[br] = nnz
-                dq = cf * y_ac_q
-                dq[0] = dcs[b]
-                blocks[b] = dq
-            resid = _idct4x4(blocks)  # [16, 4, 4]
+                levels[m, 1 + b] = cf
             # chroma tokens parsed for stream/context sync only
-            for plane_above, plane_left in ((above_u, left_u), (above_v, left_v)):
+            for ph0, plane_above, plane_left in (
+                (17, above_u, left_u), (21, above_v, left_v)
+            ):
                 for b in range(4):
                     br, bc = b // 2, b % 2
                     ctx = int(plane_above[mx * 2 + bc] + plane_left[br])
-                    _, nnz = _decode_coeffs(td, _PLANE_UV, 0, ctx, probs)
+                    cf, nnz = _decode_coeffs(td, _PLANE_UV, 0, ctx, probs)
                     plane_above[mx * 2 + bc] = plane_left[br] = nnz
+                    levels[m, ph0 + b] = cf
+    return levels
+
+
+def _reconstruct(levels: np.ndarray, ymodes: np.ndarray, qindex: int,
+                 mb_rows: int, mb_cols: int, w: int, h: int) -> np.ndarray:
+    """Quantized LEVELS [nmb, 25, 16] -> Y plane float32 [h, w]:
+    dequant + batched IWHT/IDCT over every MB at once, then the
+    (inherently sequential) intra-prediction raster walk."""
+    y_dc_q, y_ac_q, y2_dc_q, y2_ac_q, _, _ = _quant_for(qindex)
+    y2 = levels[:, 0]                      # [nmb, 16]
+    dq2 = y2 * y2_ac_q
+    dq2[:, 0] = y2[:, 0] * y2_dc_q
+    dcs = _iwht4x4(dq2).reshape(-1, 16)    # [nmb, 16] Y-block DCs
+    dq = levels[:, 1:17] * y_ac_q          # [nmb, 16, 16]
+    dq[:, :, 0] = dcs
+    resid = _idct4x4(dq)                   # [nmb, 16, 4, 4]
+    recon = np.zeros((mb_rows * 16, mb_cols * 16), dtype=np.int64)
+    for my in range(mb_rows):
+        for mx in range(mb_cols):
             pred = _predict16(recon, my, mx, int(ymodes[my, mx]))
             mbp = pred.reshape(4, 4, 4, 4).swapaxes(1, 2).reshape(16, 4, 4)
-            rec = np.clip(mbp + resid, 0, 255)
+            rec = np.clip(mbp + resid[my * mb_cols + mx], 0, 255)
             recon[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
                 rec.reshape(4, 4, 4, 4).swapaxes(1, 2).reshape(16, 16)
             )
     return recon[:h, :w].astype(np.float32)
+
+
+def decode_vp8_frame(frame: bytes) -> np.ndarray:
+    """'VP8 ' chunk payload -> Y plane float32 [h, w] (the Y-plane-
+    sufficient subset: chroma tokens are parsed to keep the entropy
+    stream and contexts in sync, but only luma reconstructs)."""
+    (w, h, mb_rows, mb_cols, qindex, probs, skips, ymodes,
+     token_buf) = _parse_frame_header(frame)
+    levels = _decode_tokens_scalar(token_buf, probs, skips, mb_rows,
+                                   mb_cols)
+    return _reconstruct(levels, ymodes, qindex, mb_rows, mb_cols, w, h)
 
 
 # --------------------------------------------------------------------------
