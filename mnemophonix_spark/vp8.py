@@ -670,9 +670,15 @@ def _quality_to_qindex(quality: int) -> int:
     return max(0, min(127, int(round((100 - quality) * 1.27))))
 
 
-def encode_vp8_frame(gray: np.ndarray, quality: int = 90) -> bytes:
+_SKIP_PROB = 200  # encoder-side P(not skipped); any 1..255 is legal
+
+
+def encode_vp8_frame(gray: np.ndarray, quality: int = 90,
+                     use_skip: bool = True) -> bytes:
     """Grayscale [h, w] -> 'VP8 ' chunk payload (key frame, DC_PRED
-    macroblocks, flat chroma)."""
+    macroblocks, flat chroma).  ``use_skip``: emit mb_no_skip_coeff
+    (§9.11) — MBs whose quantized coefficients are all zero carry a
+    1-bit skip flag instead of 25 blocks of EOB tokens."""
     g = np.round(np.clip(np.asarray(gray, dtype=np.float64), 0, 255))
     if g.ndim != 2:
         raise ValueError("encode_vp8_frame expects [h, w] grayscale")
@@ -704,7 +710,9 @@ def encode_vp8_frame(gray: np.ndarray, quality: int = 90) -> bytes:
     mode_be.write(1, 128)   # refresh entropy
     for _ in range(4 * 8 * 3 * _N_NODES):
         mode_be.write(0, 252)  # no prob updates
-    mode_be.write(0, 128)   # mb_no_skip_coeff disabled
+    mode_be.write(1 if use_skip else 0, 128)  # mb_no_skip_coeff
+    if use_skip:
+        mode_be.literal(_SKIP_PROB, 8)
 
     token_be = _BoolEncoder()
     recon = np.zeros((mb_rows * 16, mb_cols * 16), dtype=np.int64)
@@ -719,8 +727,6 @@ def encode_vp8_frame(gray: np.ndarray, quality: int = 90) -> bytes:
         left_u = np.zeros(2, np.int64)
         left_v = np.zeros(2, np.int64)
         for mx in range(mb_cols):
-            _tree_mode_write(mode_be, _DC)
-            _uv_mode_write(mode_be, _DC)
             pred = _predict16(recon, my, mx, _DC)
             resid = (
                 img[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] - pred
@@ -732,6 +738,26 @@ def encode_vp8_frame(gray: np.ndarray, quality: int = 90) -> bytes:
             y2_lvl = np.round(
                 y2c / np.where(np.arange(16) == 0, y2_dc_q, y2_ac_q)
             ).astype(np.int64)
+            lvl_pre = np.round(coefs / y_ac_q).astype(np.int64)
+            skip_mb = (use_skip and not y2_lvl.any()
+                       and not lvl_pre[:, 1:].any())
+            if use_skip:
+                mode_be.write(1 if skip_mb else 0, _SKIP_PROB)
+            _tree_mode_write(mode_be, _DC)
+            _uv_mode_write(mode_be, _DC)
+            if skip_mb:
+                # no tokens; contexts reset (decoder mirrors this)
+                above_y[mx * 4 : mx * 4 + 4] = 0
+                left_y[:] = 0
+                above_y2[mx] = left_y2 = 0
+                above_u[mx * 2 : mx * 2 + 2] = left_u[:] = 0
+                above_v[mx * 2 : mx * 2 + 2] = left_v[:] = 0
+                mbp = pred.reshape(4, 4, 4, 4).swapaxes(1, 2).reshape(16, 4, 4)
+                rec = np.clip(mbp, 0, 255)
+                recon[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
+                    rec.reshape(4, 4, 4, 4).swapaxes(1, 2).reshape(16, 16)
+                )
+                continue
             dq2 = y2_lvl * y2_ac_q
             dq2[0] = y2_lvl[0] * y2_dc_q
             dcs = _iwht4x4(dq2).ravel()
@@ -741,7 +767,7 @@ def encode_vp8_frame(gray: np.ndarray, quality: int = 90) -> bytes:
             )
             above_y2[mx] = left_y2 = nnz2
             # Y blocks: AC levels (positions 1..15)
-            lvl = np.round(coefs / y_ac_q).astype(np.int64)
+            lvl = lvl_pre
             dq = lvl * y_ac_q
             dq[:, 0] = dcs
             blocks = np.zeros((16, 16), dtype=np.int64)
