@@ -661,6 +661,35 @@ def decode_vp8_frame(frame: bytes) -> np.ndarray:
     return _reconstruct(levels, ymodes, qindex, mb_rows, mb_cols, w, h)
 
 
+# measured token-pool crossover vs the per-symbol scalar path on
+# corpus-statistics content (bench `vp8_decode_paths`): the lockstep's
+# fixed per-iteration dispatch amortizes over lanes, winning from
+# ~120-130 lanes up; below that the scalar loop is faster
+MIN_POOL = 128
+
+
+def decode_vp8_frames(frames: list) -> list:
+    """Batched decode: per-image header parse (strict validation stays
+    per slot), ONE lockstep pass over every frame's coefficient
+    partition (vp8_lockstep.decode_token_pool), then reconstruction.
+    Raises CodecError on the FIRST malformed header — callers with
+    per-slot quarantine fall back to per-image decode, the same
+    recovery pattern as decode_webp_gray_batch / decode_jfif_batch."""
+    from mnemophonix_spark.vp8_lockstep import decode_token_pool
+
+    hdrs = [_parse_frame_header(bytes(f)) for f in frames]
+    if len(frames) < MIN_POOL:
+        levels = [_decode_tokens_scalar(hd[8], hd[5], hd[6], hd[2],
+                                        hd[3]) for hd in hdrs]
+    else:
+        levels = decode_token_pool([(hd[8], hd[5], hd[6])
+                                    for hd in hdrs])
+    return [
+        _reconstruct(lv, hd[7], hd[4], hd[2], hd[3], hd[0], hd[1])
+        for lv, hd in zip(levels, hdrs)
+    ]
+
+
 # --------------------------------------------------------------------------
 # frame encode
 # --------------------------------------------------------------------------

@@ -860,9 +860,15 @@ def decode_webp_gray_batch(datas: list) -> list:
     re-raise from that fallback."""
     results: list = [None] * len(datas)
     groups: dict = {}
+    vp8_rows: list = []                  # (slot, 'VP8 ' chunk body)
     for i, data in enumerate(datas):
+        data = bytes(data)
         try:
-            pre = _parse_flat8_prelude(bytes(data))
+            tag, body = _payload(data)
+            if tag == b"VP8 ":
+                vp8_rows.append((i, body))
+                continue
+            pre = _parse_flat8_prelude(data)
         except CodecError:
             pre = None
         except Exception:
@@ -874,6 +880,20 @@ def decode_webp_gray_batch(datas: list) -> list:
         groups.setdefault((h, w, r0, b0, a0, pos & 7), []).append(
             (i, body, pos)
         )
+    if vp8_rows:
+        # lossy rows pool through the lockstep token decoder when the
+        # pool is wide enough (vp8.MIN_POOL, measured crossover);
+        # a malformed header aborts the pool and those rows fall back
+        # to per-image decode so quarantine stays per-row
+        from mnemophonix_spark import vp8 as _vp8
+
+        try:
+            outs_v = _vp8.decode_vp8_frames([b for _, b in vp8_rows])
+            for (i, _), y in zip(vp8_rows, outs_v):
+                results[i] = y
+        except CodecError:
+            for i, body in vp8_rows:
+                results[i] = _vp8.decode_vp8_frame(body)
     for (h, w, r0, b0, _a0, off), items in groups.items():
         npx = h * w
         nbytes = (off + npx * 8 + 7) >> 3

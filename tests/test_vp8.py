@@ -322,3 +322,95 @@ def test_truncation_fuzz(rng):
             assert out.ndim == 3
         except CodecError:
             pass
+
+
+# --- lane-pool lockstep token decoder (vp8_lockstep.py) ----------------------
+
+
+def _pool_lanes(frames):
+    lanes, scalars = [], []
+    for f in frames:
+        w, h, mr, mc, qi, probs, skips, ym, tb = vp8._parse_frame_header(f)
+        lanes.append((tb, probs, skips))
+        scalars.append(vp8._decode_tokens_scalar(tb, probs, skips, mr, mc))
+    return lanes, scalars
+
+
+def test_lockstep_pool_matches_scalar(rng):
+    from mnemophonix_spark.vp8_lockstep import decode_token_pool
+
+    frames = []
+    for k in range(14):
+        h, w = int(rng.integers(1, 100)), int(rng.integers(1, 120))
+        img = _photo(rng, h, w)
+        q = int(rng.integers(40, 101))
+        frames.append(vp8.encode_vp8_frame(img, q, use_skip=bool(k % 2)))
+    # flat frames: heavy skip runs, incl. an ALL-skip frame
+    frames.append(vp8.encode_vp8_frame(np.full((64, 48), 77.0), 90))
+    lanes, scalars = _pool_lanes(frames)
+    pooled = decode_token_pool(lanes)
+    for k, (a, b) in enumerate(zip(pooled, scalars)):
+        assert np.array_equal(a, b), f"lane {k} diverged"
+
+
+def test_lockstep_pool_random_streams_match_scalar(rng):
+    """Garbage token partitions (random bytes) must produce the SAME
+    garbage levels in both paths — the pool inherits the scalar
+    zero-fill-past-the-end semantics, so truncated/corrupt streams
+    cannot diverge between the engine tier and the oracle tier."""
+    from mnemophonix_spark.vp8_lockstep import decode_token_pool
+
+    lanes, scalars = [], []
+    for k in range(12):
+        mr, mc = int(rng.integers(1, 5)), int(rng.integers(1, 5))
+        tb = bytes(rng.integers(0, 256, int(rng.integers(2, 60)),
+                                dtype=np.uint8))
+        probs = rng.integers(1, 254, (4, 8, 3, 11)).astype(np.int64)
+        skips = (rng.random((mr, mc)) < 0.3).astype(np.int64)
+        lanes.append((tb, probs, skips))
+        scalars.append(vp8._decode_tokens_scalar(tb, probs, skips, mr, mc))
+    pooled = decode_token_pool(lanes)
+    for k, (a, b) in enumerate(zip(pooled, scalars)):
+        assert np.array_equal(a, b), f"random lane {k} diverged"
+
+
+def test_batched_frames_match_per_image(rng):
+    imgs = [_photo(rng, int(rng.integers(16, 80)),
+                   int(rng.integers(16, 96))) for _ in range(9)]
+    frames = [vp8.encode_vp8_frame(im, 88) for im in imgs]
+    singles = [vp8.decode_vp8_frame(f) for f in frames]
+    batched = vp8.decode_vp8_frames(frames)
+    for a, b in zip(batched, singles):
+        assert np.array_equal(a, b)
+
+
+def test_wide_pool_routes_through_lockstep(rng, monkeypatch):
+    """Above vp8.MIN_POOL the batch path must take the lockstep tier
+    and still match per-image decode exactly."""
+    monkeypatch.setattr(vp8, "MIN_POOL", 6)
+    frames = [vp8.encode_vp8_frame(_photo(rng, 33, 49), 92)
+              for _ in range(8)]
+    singles = [vp8.decode_vp8_frame(f) for f in frames]
+    batched = vp8.decode_vp8_frames(frames)
+    for a, b in zip(batched, singles):
+        assert np.array_equal(a, b)
+
+
+def test_decode_batch_mixed_lossy_lossless_quarantine(rng):
+    from mnemophonix_spark import codecs
+
+    datas, refs = [], []
+    for k in range(12):
+        img = _photo(rng, 40 + k, 52 + k)
+        if k % 2:
+            datas.append(vp8.encode_webp_lossy(img, 92))
+        else:
+            datas.append(webp.encode_webp(np.round(img).astype(np.uint8)))
+        refs.append(webp.decode_webp(datas[-1]))
+    outs = codecs.decode_batch(datas, ["webp"] * len(datas))
+    assert all(np.array_equal(a, b) for a, b in zip(outs, refs))
+    datas[5] = datas[5][:30]  # truncate one lossy row
+    outs = codecs.decode_batch(datas, ["webp"] * len(datas))
+    assert isinstance(outs[5], codecs.CodecError)
+    assert all(np.array_equal(o, refs[j]) for j, o in enumerate(outs)
+               if j != 5)
