@@ -386,3 +386,14 @@ def decode_token_pool(lanes: list) -> list:
             .reshape(int(nmb[k]), _N_PHASES, 16)
         )
     return levels
+
+
+# A lockstep RECONSTRUCTION pool (one MB per lane per iteration, DC/V/
+# H/TM via masks, canvases as one flat array) was built and measured
+# here and REJECTED: computing the gather/scatter index arrays for
+# (lanes, 16, 16) pixel tiles costs more element work than the whole
+# per-image slice-based walk in vp8._reconstruct (96x128: 3.6 vs 1.3
+# ms/img; 256x333: 51 vs 10.7 — even with a DC-only specialization and
+# integer-identical output).  Same evidence-over-dogma call as the
+# packed minhash band table (BENCH minhash_paths): the win axis for
+# VP8 is the token pool above, not the pixel walk.
