@@ -441,9 +441,11 @@ def _bench_tiff_decode_paths() -> dict:
 
 def _bench_vp8_decode_paths() -> dict:
     """Single-core lossy-WebP (VP8 key frame) decode on
-    corpus-statistics content: the per-image path vs the batched
-    dispatch (which routes 'VP8 ' bodies per-image inside
-    decode_webp_gray_batch — this probe records that cost honestly)."""
+    corpus-statistics content: the per-image path, the batched
+    dispatch below the pool crossover (routes per-image), and the
+    lane-pool lockstep tier (vp8_lockstep) at a wide pool — the shape
+    an Arrow batch of a lossy-heavy corpus would take.  Records the
+    measured crossover that sets vp8.MIN_POOL."""
     import numpy as np
 
     from mnemophonix_spark import codecs, corpusgen, vp8, webp
@@ -465,10 +467,21 @@ def _bench_vp8_decode_paths() -> dict:
     t0 = time.time()
     codecs.decode_batch(datas, ["webp"] * n)
     t_batch = (time.time() - t0) / n
+    # wide pool: MIN_POOL+ lanes through the lockstep token decoder
+    bodies = [webp._payload(d)[1] for d in datas]
+    wide = bodies * ((vp8.MIN_POOL + n) // n + 1)
+    nw = len(wide)
+    vp8.decode_vp8_frames(wide[:8])  # warm-up (scalar tier)
+    t0 = time.time()
+    vp8.decode_vp8_frames(wide)
+    t_pool = (time.time() - t0) / nw
     return {
         "images": n,
         "ms_per_image": round(t_single * 1000, 3),
-        "ms_batched": round(t_batch * 1000, 3),
+        "ms_batched_below_crossover": round(t_batch * 1000, 3),
+        "pool_lanes": nw,
+        "ms_lockstep_pool": round(t_pool * 1000, 3),
+        "pool_speedup": round(t_single / t_pool, 2),
     }
 
 

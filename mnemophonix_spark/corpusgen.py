@@ -36,11 +36,16 @@ H_CHOICES = [64, 128, 256, 217]
 # alongside png/bmp and the FJPG stand-in; with "jfif" present the
 # lossy duplicate kind (2) also encodes through the real JPEG codec.
 # Since the WebP codec landed, lossless VP8L rows ride the same mix.
-# Round 5 adds TIFF (the last shipped codec with no graded row) and
+# Round 5 adds TIFF (the last shipped codec with no graded row),
 # makes the lossy-jfif rows FOREIGN-style (no restart markers, the
-# real-world encoder shape — decoded by the generalized lockstep).
-# Image fixtures and cached corpora regenerate with this list.
-FMT_CHOICES = ["png", "jpeg", "bmp", "jfif", "pgm", "webp", "gif", "tiff"]
+# real-world encoder shape — decoded by the generalized lockstep),
+# and plants LOSSY WebP: "webp_lossy" makes half the kind-2
+# re-encodes real 'VP8 ' key frames (vp8.py; fmt column stays
+# "webp"), so the graded corpus now exercises all nine bitstream
+# shapes.  Image fixtures and cached corpora regenerate with this
+# list.
+FMT_CHOICES = ["png", "jpeg", "bmp", "jfif", "pgm", "webp", "gif", "tiff",
+               "webp_lossy"]
 
 _WORDS = [
     f"w{i:03d}" for i in range(446)
@@ -181,9 +186,9 @@ def generate(n_rows: int, seed: int = SEED, id_offset: int = 0,
     fmts = list(fmt_choices) if fmt_choices else FMT_CHOICES
     # "webp_lossy" is a lossy-KIND token, not a base format: when
     # present, half the kind-2 re-encodes emit lossy VP8 key frames
-    # (fmt column still "webp").  Not in the default mix yet — the VP8
-    # decode is per-image Python (no batched path), so graded/bench
-    # corpora would inherit a known scale-killer; e2e coverage only.
+    # (fmt column still "webp").  In the default mix since the
+    # lockstep token pool landed (vp8_lockstep.py): wide Arrow
+    # batches decode pooled, narrow ones per-image (vp8.MIN_POOL).
     lossy_webp = "webp_lossy" in fmts
     if lossy_webp:
         fmts = [f for f in fmts if f != "webp_lossy"]
