@@ -519,7 +519,13 @@ def _parse_frame_header(frame: bytes) -> tuple:
     w16 = frame[6] | (frame[7] << 8)
     h16 = frame[8] | (frame[9] << 8)
     w, h = w16 & 0x3FFF, h16 & 0x3FFF
-    if w <= 0 or h <= 0 or w * h > (64 << 20):
+    # decode-side memory bound (the round-4 GIF-advisory class): the
+    # levels array costs ~3.2 KB per macroblock, so a few-byte header
+    # claiming the full 14-bit 16383x16383 would expand to ~3 GB.
+    # 16M pixels (4096x4096, 65k MBs -> ~210 MB transient) caps the
+    # crafted-header blow-up; oversized frames quarantine per the
+    # malformed-input contract instead of decoding.
+    if w <= 0 or h <= 0 or w * h > (16 << 20):
         raise CodecError(f"bad VP8 geometry {w}x{h}")
     if 10 + part1_size > len(frame):
         raise CodecError("VP8 first partition overruns frame")
@@ -667,6 +673,14 @@ def decode_vp8_frame(frame: bytes) -> np.ndarray:
 # ~120-130 lanes up; below that the scalar loop is faster
 MIN_POOL = 128
 
+# pool memory budget in macroblocks: the pool's output + schedule
+# arrays cost ~5 KB per MB, so a wide Arrow batch of maximum-geometry
+# frames must not share ONE pool (the batch-level sibling of the
+# per-frame geometry cap above).  256k MBs ~= 1.3 GB transient; a
+# typical corpus frame is 48-336 MBs, so chunking never triggers on
+# real mixes.
+_MAX_POOL_MBS = 256 << 10
+
 
 def decode_vp8_frames(frames: list) -> list:
     """Batched decode: per-image header parse (strict validation stays
@@ -682,8 +696,17 @@ def decode_vp8_frames(frames: list) -> list:
         levels = [_decode_tokens_scalar(hd[8], hd[5], hd[6], hd[2],
                                         hd[3]) for hd in hdrs]
     else:
-        levels = decode_token_pool([(hd[8], hd[5], hd[6])
-                                    for hd in hdrs])
+        levels = []
+        chunk: list = []
+        mbs = 0
+        for hd in hdrs:
+            chunk.append((hd[8], hd[5], hd[6]))
+            mbs += hd[2] * hd[3]
+            if mbs >= _MAX_POOL_MBS:
+                levels.extend(decode_token_pool(chunk))
+                chunk, mbs = [], 0
+        if chunk:
+            levels.extend(decode_token_pool(chunk))
     return [
         _reconstruct(lv, hd[7], hd[4], hd[2], hd[3], hd[0], hd[1])
         for lv, hd in zip(levels, hdrs)

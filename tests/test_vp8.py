@@ -414,3 +414,29 @@ def test_decode_batch_mixed_lossy_lossless_quarantine(rng):
     assert isinstance(outs[5], codecs.CodecError)
     assert all(np.array_equal(o, refs[j]) for j, o in enumerate(outs)
                if j != 5)
+
+
+def test_geometry_memory_bound():
+    """Crafted-header blow-up guard (round-4 GIF-advisory class): a
+    few-byte frame claiming huge 14-bit dimensions must quarantine,
+    not allocate multi-GB level/canvas arrays."""
+    be = _BoolEncoder()
+    be.write(0, 128)
+    part1 = be.finish()
+    tag = (1 << 4) | (len(part1) << 5)
+    head = bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+    head += b"\x9d\x01\x2a" + struct.pack("<HH", 16383, 16383)
+    with pytest.raises(CodecError, match="geometry"):
+        vp8.decode_vp8_frame(head + part1 + b"\x00\x00")
+
+
+def test_pool_chunking_budget(rng, monkeypatch):
+    """Pools above _MAX_POOL_MBS split into chunks; results must stay
+    identical to the unchunked path."""
+    monkeypatch.setattr(vp8, "MIN_POOL", 4)
+    frames = [vp8.encode_vp8_frame(_photo(rng, 33, 49), 92)
+              for _ in range(10)]
+    want = [vp8.decode_vp8_frame(f) for f in frames]
+    monkeypatch.setattr(vp8, "_MAX_POOL_MBS", 20)  # ~2 frames per pool
+    got = vp8.decode_vp8_frames(frames)
+    assert all(np.array_equal(a, b) for a, b in zip(got, want))
