@@ -440,3 +440,36 @@ def test_pool_chunking_budget(rng, monkeypatch):
     monkeypatch.setattr(vp8, "_MAX_POOL_MBS", 20)  # ~2 frames per pool
     got = vp8.decode_vp8_frames(frames)
     assert all(np.array_equal(a, b) for a, b in zip(got, want))
+
+
+def test_vp8_roundtrip_property():
+    """Hypothesis: any uint8 grayscale array survives encode/decode
+    with the decoded output in-range, shape-exact, and (at q=100,
+    minimal quantizer) within a tight error bound; and the lockstep
+    pool equals the scalar token path on every generated frame."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    from mnemophonix_spark.vp8_lockstep import decode_token_pool
+
+    @settings(max_examples=25, deadline=None)
+    @given(arrays(np.uint8, st.tuples(st.integers(1, 40), st.integers(1, 40))),
+           st.integers(40, 100), st.booleans())
+    def prop(g, q, use_skip):
+        data = vp8.encode_vp8_frame(g.astype(np.float64), q,
+                                    use_skip=use_skip)
+        out = vp8.decode_vp8_frame(data)
+        assert out.shape == g.shape and out.dtype == np.float32
+        assert float(out.min()) >= 0.0 and float(out.max()) <= 255.0
+        if q == 100:
+            # quantizer floor: DC step 4, AC step 4 — max per-pixel
+            # error is bounded by the transform spread of half-steps
+            assert np.max(np.abs(out - g)) <= 16.0
+        _w, _h, mr, mc, qi, probs, skips, _ym, tb = \
+            vp8._parse_frame_header(data)
+        scal = vp8._decode_tokens_scalar(tb, probs, skips, mr, mc)
+        pool = decode_token_pool([(tb, probs, skips)])[0]
+        assert np.array_equal(pool, scal)
+
+    prop()
