@@ -467,9 +467,11 @@ def _bench_vp8_decode_paths() -> dict:
     t0 = time.time()
     codecs.decode_batch(datas, ["webp"] * n)
     t_batch = (time.time() - t0) / n
-    # wide pool: MIN_POOL+ lanes through the lockstep token decoder
+    # wide pool: 4x the crossover — the width amortization the probe
+    # exists to document (the corpus path's Arrow batches reach this
+    # on lossy-heavy mixes)
     bodies = [webp._payload(d)[1] for d in datas]
-    wide = bodies * ((vp8.MIN_POOL + n) // n + 1)
+    wide = bodies * (4 * vp8.MIN_POOL // n + 1)
     nw = len(wide)
     vp8.decode_vp8_frames(wide[:8])  # warm-up (scalar tier)
     t0 = time.time()

@@ -696,17 +696,46 @@ def decode_vp8_frames(frames: list) -> list:
         levels = [_decode_tokens_scalar(hd[8], hd[5], hd[6], hd[2],
                                         hd[3]) for hd in hdrs]
     else:
-        levels = []
-        chunk: list = []
+        # pool iterations run to the LONGEST lane, so a mixed batch
+        # pools by SIZE CLASS: sorted by stream length, a new class
+        # starts when a lane is 2x the class's shortest (or the per-MB
+        # memory budget fills).  Classes narrower than MIN_POOL decode
+        # scalar — for them the per-symbol loop is the measured-faster
+        # path, exactly the case of a few big frames whose lockstep
+        # tail would run at low lane-parallelism (a 200-frame
+        # mixed-size batch measured 27 ms/img scalar vs 50 pooled
+        # before this policy; equal-size batches keep the pool win).
+        order = sorted(range(len(hdrs)), key=lambda j: len(hdrs[j][8]))
+        levels = [None] * len(hdrs)
+
+        def _flush(idxs):
+            if len(idxs) >= MIN_POOL:
+                pooled = decode_token_pool(
+                    [(hdrs[j][8], hdrs[j][5], hdrs[j][6]) for j in idxs])
+                for j2, lv in zip(idxs, pooled):
+                    levels[j2] = lv
+            else:
+                for j2 in idxs:
+                    hd = hdrs[j2]
+                    levels[j2] = _decode_tokens_scalar(
+                        hd[8], hd[5], hd[6], hd[2], hd[3])
+
+        chunk_idx: list = []
         mbs = 0
-        for hd in hdrs:
-            chunk.append((hd[8], hd[5], hd[6]))
+        base_len = 0
+        for j in order:
+            hd = hdrs[j]
+            if chunk_idx and (
+                mbs >= _MAX_POOL_MBS or len(hd[8]) > 2 * base_len
+            ):
+                _flush(chunk_idx)
+                chunk_idx, mbs = [], 0
+            if not chunk_idx:
+                base_len = max(len(hd[8]), 1)
+            chunk_idx.append(j)
             mbs += hd[2] * hd[3]
-            if mbs >= _MAX_POOL_MBS:
-                levels.extend(decode_token_pool(chunk))
-                chunk, mbs = [], 0
-        if chunk:
-            levels.extend(decode_token_pool(chunk))
+        if chunk_idx:
+            _flush(chunk_idx)
     return [
         _reconstruct(lv, hd[7], hd[4], hd[2], hd[3], hd[0], hd[1])
         for lv, hd in zip(levels, hdrs)
