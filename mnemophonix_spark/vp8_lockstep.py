@@ -174,7 +174,6 @@ def _build_schedule(lanes, mbc, nmb, obase):
     """
     per_lane = []
     abase_off = 0
-    abases = []
     for k, (_t, _p, skips) in enumerate(lanes):
         rows, cols = skips.shape
         sk = skips.astype(bool)
@@ -201,7 +200,6 @@ def _build_schedule(lanes, mbc, nmb, obase):
                          slm.ravel(), si0.ravel(), sob.ravel(),
                          np.broadcast_to(spb, sa.shape).ravel(),
                          np.broadcast_to(spt, sa.shape).ravel()))
-        abases.append(abase_off)
         abase_off += cols * 9
     vcount = np.asarray([p[0].size for p in per_lane], np.int64)
     vbase = np.zeros(len(lanes), np.int64)
