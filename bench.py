@@ -302,15 +302,28 @@ def _bench_jfif_decode_paths() -> dict:
     t0 = time.time()
     jfif.decode_jfif_batch(d_dri8)
     t_dri8 = (time.time() - t0) / n
+    # wide DRI=0 pool: at 48 images the batch sits BELOW the measured
+    # ~80-96-lane crossover (jfif._GEN_MIN_LANES routing), so t_dri0
+    # above times the per-image fallback.  2x the crossover is the
+    # width a production Arrow batch reaches — the amortization the
+    # generalized lockstep exists for.
+    wide = d_flat * ((2 * jfif._GEN_MIN_LANES) // n + 1)
+    nw = len(wide)
+    t0 = time.time()
+    jfif.decode_jfif_batch(wide)
+    t_dri0w = (time.time() - t0) / nw
     return {
         "images": n,
         "ms_listpath": round(t_list * 1000, 3),
         "ms_lockstep_single": round(t_single * 1000, 3),
         "ms_lockstep_batched": round(t_batch * 1000, 3),
         "ms_foreign_dri0_batched": round(t_dri0 * 1000, 3),
+        "ms_foreign_dri0_widepool": round(t_dri0w * 1000, 3),
+        "dri0_widepool_images": nw,
         "ms_foreign_dri8_batched": round(t_dri8 * 1000, 3),
         "batch_speedup_vs_listpath": round(t_list / t_batch, 2),
         "dri0_speedup_vs_listpath": round(t_list / t_dri0, 2),
+        "dri0_widepool_speedup_vs_listpath": round(t_list / t_dri0w, 2),
     }
 
 
