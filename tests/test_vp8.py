@@ -442,6 +442,30 @@ def test_pool_chunking_budget(rng, monkeypatch):
     assert all(np.array_equal(a, b) for a, b in zip(got, want))
 
 
+def test_size_class_routing_mixed_batch(rng, monkeypatch):
+    """Mixed-size batches pool by SIZE CLASS (a new class opens when a
+    lane is 2x the class minimum; classes narrower than MIN_POOL fall
+    back to the scalar token path).  The routing sorts lanes by stream
+    length and reassembles results by original index — this pins the
+    bookkeeping: every frame must come back in ORDER and bit-identical
+    to per-image decode, across a batch engineered to hit both the
+    pooled and the scalar branch in one call."""
+    monkeypatch.setattr(vp8, "MIN_POOL", 3)
+    # small frames form a wide class (pooled); the two big frames make
+    # a class of width 2 < MIN_POOL (scalar fallback)
+    imgs = [_photo(rng, 17, 21) for _ in range(6)]
+    imgs += [_photo(rng, 160, 176), _photo(rng, 176, 160)]
+    order = rng.permutation(len(imgs))  # interleave sizes on input
+    imgs = [imgs[j] for j in order]
+    frames = [vp8.encode_vp8_frame(im, 90) for im in imgs]
+    lens = sorted(len(f) for f in frames)
+    assert lens[-1] > 2 * lens[0], "batch must span >= two size classes"
+    want = [vp8.decode_vp8_frame(f) for f in frames]
+    got = vp8.decode_vp8_frames(frames)
+    assert [g.shape for g in got] == [w.shape for w in want]
+    assert all(np.array_equal(a, b) for a, b in zip(got, want))
+
+
 def test_vp8_roundtrip_property():
     """Hypothesis: any uint8 grayscale array survives encode/decode
     with the decoded output in-range, shape-exact, and (at q=100,
