@@ -433,6 +433,28 @@ def test_foreign_dri_gray_batch_exact():
         assert np.array_equal(a, b)
 
 
+def test_small_foreign_pool_reassembles_with_dri1_rows():
+    """Below jfif._GEN_MIN_LANES the router decodes foreign rows
+    per-image (measured crossover: the general lockstep only pays off
+    in lane company) while DRI=1 rows still ride the interval-1 pool.
+    This pins the split-path reassembly: outputs must come back in
+    input order and bit-identical to per-image decode when both
+    branches fire in ONE batch call."""
+    from mnemophonix_spark import corpusgen
+
+    datas = []
+    for i in range(6):
+        rng = np.random.default_rng(7300 + i)
+        img = np.round(corpusgen._base_image(rng)).astype(np.uint8)
+        ri = [0, 1][i % 2]  # 3 foreign lanes total — far below 64
+        datas.append(jfif.encode_jfif(img, 90, restart_interval=ri))
+    refs = [jfif.decode_jfif(d) for d in datas]
+    outs = jfif.decode_jfif_batch(datas)
+    assert len(outs) == len(refs)
+    for a, b in zip(refs, outs):
+        assert np.array_equal(a, b)
+
+
 def test_foreign_dri_color_batch_exact():
     """Color twin: _lockstep_color_general decodes mixed-layout
     (4:4:4 / 4:2:0), mixed-DRI (0 / 2 / 8) YCbCr batches bit-identical
